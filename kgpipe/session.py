@@ -1,0 +1,71 @@
+"""SparkSession factory — one place for all scale-relevant configs.
+
+Defaults are tuned for the sandbox (local[N], 128 GiB, parquet-backed
+snapshot tables); on a real cluster the same factory takes the Iceberg
+catalog configs via ``extra_conf`` and everything downstream is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def _package_zip() -> str:
+    """Zip the kgpipe package for executor shipping (spark-submit --py-files
+    equivalent). Cached per process."""
+    import kgpipe
+
+    pkg_dir = os.path.dirname(os.path.abspath(kgpipe.__file__))
+    out = os.path.join(tempfile.gettempdir(), f"kgpipe-{os.getpid()}.zip")
+    if not os.path.exists(out):
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join("kgpipe", os.path.relpath(full, pkg_dir))
+                        zf.write(full, rel)
+    return out
+
+
+def get_spark(
+    app_name: str = "kgpipe",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    # shuffle partitions sized to cores in local mode; a 1000-executor run
+    # would size this to 2-3x total cores (AQE coalesces the excess).
+    if shuffle_partitions is None:
+        local_n = master[len("local[") : -1] if master.startswith("local[") else ""
+        shuffle_partitions = cpus if not local_n.isdigit() else int(local_n)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("KGPIPE_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    # ship the package to python workers — the programmatic counterpart of
+    # `spark-submit --py-files kgpipe.zip` (north_star packaging contract);
+    # without it executors outside the repo cwd can't unpickle the UDFs.
+    spark.sparkContext.addPyFile(_package_zip())
+    return spark
