@@ -1,0 +1,122 @@
+"""Alias canonicalization: iterative connected components on the
+variant-character graph (SURVEY.md §4.1).
+
+The reference records 异体字 variant links per character
+(/root/reference/hanzi/extract_basic_info.py:138-149) but never
+canonicalizes; the rebuild's north_star requires canonical ids so that
+e.g. 王 and its variants 玉/𠙻/… resolve to one canonical node before
+triple emission.
+
+Algorithm: hash-min label propagation expressed entirely in DataFrame
+ops — each vertex repeatedly adopts the minimum label among itself and
+its neighbors until fixpoint. Converges in O(diameter) ≤ O(log n)
+iterations for the star-ish alias clusters (variants per char ≲ 10).
+``localCheckpoint`` truncates lineage each round so plans stay flat; the
+iteration cap + convergence assertion guard against pathological input.
+
+Labels are the deterministic node ids (xxhash64), so the elected
+canonical representative is identical at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Undirected CC. Returns (node_id, component_id) with component_id =
+    min(node_id) over the component.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node_id"))
+        .distinct()
+        .withColumn("component_id", F.col("node_id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        # candidate label per node = min over neighbor labels
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node_id"], "inner")
+            .groupBy(F.col("a").alias("node_id"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node_id", "left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
+                ).alias("component_id"),
+                (F.col("nbr_min") < F.col("component_id")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.where(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations"
+    )
+
+
+def canonical_mapping(variant_edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(node_id → canonical_id, canonical_name) from variant-of edges.
+
+    canonical member = lexicographically smallest *name* in the component
+    (deterministic; independent of hash values and cluster size). Nodes
+    outside any variant cluster map to themselves implicitly (callers
+    left-join and coalesce).
+    """
+    comp = connected_components(variant_edges)
+    named = comp.join(nodes.select("node_id", "name"), "node_id", "inner")
+    winners = (
+        named.groupBy("component_id")
+        .agg(F.min_by("node_id", "name").alias("canonical_id"),
+             F.min("name").alias("canonical_name"))
+    )
+    return named.join(winners, "component_id", "inner").select(
+        "node_id", "canonical_id", "canonical_name"
+    )
+
+
+def apply_canonicalization(edges: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite edge endpoints through the alias mapping (broadcast — the
+    mapping is bounded by the variant-cluster population, tiny vs edges),
+    then re-canonicalize undirected order and drop collapsed self-loops.
+    """
+    m = F.broadcast(mapping)
+    out = (
+        edges.join(
+            m.select(F.col("node_id").alias("src_id"),
+                     F.col("canonical_id").alias("_c_src"),
+                     F.col("canonical_name").alias("_cn_src")),
+            "src_id", "left")
+        .join(
+            m.select(F.col("node_id").alias("dst_id"),
+                     F.col("canonical_id").alias("_c_dst"),
+                     F.col("canonical_name").alias("_cn_dst")),
+            "dst_id", "left")
+        .select(
+            F.coalesce("_c_src", "src_id").alias("src_id"),
+            F.coalesce("_c_dst", "dst_id").alias("dst_id"),
+            "rel_type",
+            F.coalesce("_cn_src", "src_name").alias("src_name"),
+            F.coalesce("_cn_dst", "dst_name").alias("dst_name"),
+            "properties",
+            "run_id",
+        )
+        .where(F.col("src_id") != F.col("dst_id"))
+    )
+    return out

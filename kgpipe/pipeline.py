@@ -1,0 +1,322 @@
+"""End-to-end graph construction: corpus → nodes / edges / triples.
+
+Spark restatement of the reference's three crawl entry points
+(SURVEY.md §3): one batch job, no threads, no queues —
+
+    corpus ──┬─ chengyu pages ─ parse UDF ─┐
+             ├─ cidian  pages ─ parse UDF ─┼─ link seeds (J2/P13)
+             └─ zidian  pages ─ parse UDF ─┘      │
+        nodes (crawled ∪ mention-minted stubs, upsert-dedup)
+        edges (syn/ant ∪ composed-of ∪ radical-of ∪ variant-of
+               ∪ has-pinyin ∪ translation-of) ─ window dedup
+        variant-of ─ iterative CC ─ canonical mapping ─ edges_canonical
+        triples (name-level, for the golden P/R gate)
+
+Scale notes:
+  * each family is parsed exactly once and persisted before fan-out to
+    nodes + several edge families (at warehouse scale this would be a
+    materialized staging table instead of an executor cache);
+  * the only joins are (a) broadcast seed-linkage, (b) broadcast semi-
+    join of composed-of chars against the hanzi dimension, (c) broadcast
+    canonical mapping — no large-×-large shuffle joins anywhere;
+  * ids are pure hash expressions, so no id-lookup join exists at all
+    (the reference's per-record SELECT round-trips disappear).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kgpipe import link as L
+from kgpipe import triples as T
+from kgpipe.canon import apply_canonicalization, canonical_mapping
+from kgpipe.ids import node_id
+from kgpipe.parse.udfs import parse_chengyu_udf, parse_ciyu_udf, parse_hanzi_udf
+
+UNDIRECTED = ("synonym", "antonym", "variant-of")
+
+
+@dataclass
+class GraphResult:
+    nodes: DataFrame
+    edges: DataFrame
+    edges_canonical: DataFrame
+    triples: DataFrame
+    missing: DataFrame  # seeds with no valid detail page
+    errors: DataFrame  # parse-error pages (key, error)
+    family_counts: dict
+
+
+def _family(corpus: DataFrame, prefix: str) -> DataFrame:
+    # at scale `path` family is the corpus partition column → partition pruning
+    return corpus.where(F.col("path").startswith(prefix + "/"))
+
+
+def _term_frame(linked: DataFrame, entity_type: str, data_prefix: str) -> DataFrame:
+    """Normalize chengyu/ciyu linked rows into one shape.
+
+    The two families' parse structs differ (chengyu has emotion/source/
+    translation, ciyu has part_of_speech/is_common) so the full struct is
+    serialized to the JSON ``properties`` column here — the export
+    boundary (SURVEY.md §1.2) — and only the shared scalar columns stay
+    typed.
+    """
+    name = f"parsed.data.{data_prefix}"
+    has_translation = data_prefix == "chengyu"
+    return linked.select(
+        F.lit(entity_type).alias("entity_type"),
+        F.coalesce(F.col(name), F.col("name")).alias("name"),  # P15 fallback
+        F.col("path"),
+        F.to_json(F.col("parsed.data")).alias("properties"),
+        F.coalesce(F.col("parsed.data.synonyms"), F.array()).alias("synonyms"),
+        F.coalesce(F.col("parsed.data.antonyms"), F.array()).alias("antonyms"),
+        F.col("parsed.data.pinyin").alias("pinyin"),
+        (
+            F.col("parsed.data.translation")
+            if has_translation
+            else F.lit(None).cast("string")
+        ).alias("translation"),
+    )
+
+
+def build_graph(
+    spark: SparkSession,
+    corpus: DataFrame,
+    seeds: DataFrame,
+    run_id: str = "run-1",
+    cache: bool = True,
+) -> GraphResult:
+    # ---- parse (one scan per family; zidian parsed once for 7 sections) ----
+    chengyu_parsed = _family(corpus, "chengyu").withColumn(
+        "parsed", parse_chengyu_udf("content", "path")
+    )
+    cidian_parsed = _family(corpus, "cidian").withColumn(
+        "parsed", parse_ciyu_udf("content", "path")
+    )
+    zidian_parsed = _family(corpus, "zidian").select(
+        "path", parse_hanzi_udf("content", "path").alias("parsed")
+    )
+    if cache:
+        zidian_parsed = zidian_parsed.persist()
+
+    # ---- linkage (J2/P13): seed ⋈ page title, by family -------------------
+    idiom_seeds = seeds.where(F.col("entity_type") == "Idiom").select("name")
+    word_seeds = seeds.where(F.col("entity_type") == "Word").select("name")
+    idiom_linked, idiom_missing = L.link_seeds_to_pages(
+        idiom_seeds, chengyu_parsed, "parsed.data.chengyu"
+    )
+    word_linked, word_missing = L.link_seeds_to_pages(
+        word_seeds, cidian_parsed, "parsed.data.word"
+    )
+
+    terms = _term_frame(idiom_linked, "Idiom", "chengyu").unionByName(
+        _term_frame(word_linked, "Word", "word")
+    )
+    if cache:
+        terms = terms.persist()
+
+    # ---- hanzi validity (hanyuguoxue.py:1155-1157) -------------------------
+    hz = zidian_parsed.select("path", "parsed.*")
+    hz_valid = hz.where(
+        F.col("error").isNull() & F.col("basic_info.data.character").isNotNull()
+    )
+    if cache:
+        hz_valid = hz_valid.persist()
+    hz_errors = hz.where(
+        F.col("error").isNotNull() | F.col("basic_info.data.character").isNull()
+    ).select(
+        F.lit(run_id).alias("run_id"),
+        F.lit("zidian").alias("partition_key"),
+        F.col("path").alias("key"),
+        F.coalesce(F.col("error"), F.col("basic_info.error")).alias("error"),
+    )
+
+    # ---- nodes -------------------------------------------------------------
+    term_nodes = terms.select(
+        node_id("entity_type", "name").alias("node_id"),
+        "entity_type",
+        "name",
+        F.col("path").alias("url"),
+        "properties",
+        F.lit(True).alias("crawled"),
+    )
+    mentions = L.extract_mentions(terms, "name", "synonyms", "antonyms").join(
+        terms.select(F.col("name").alias("src_name"), "entity_type"), "src_name", "inner"
+    )
+    stub_nodes = mentions.select(
+        node_id("entity_type", "mention").alias("node_id"),
+        "entity_type",
+        F.col("mention").alias("name"),
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("string").alias("properties"),
+        F.lit(False).alias("crawled"),
+    ).distinct()
+    hanzi_nodes = hz_valid.select(
+        node_id(F.lit("Hanzi"), F.col("basic_info.data.character")).alias("node_id"),
+        F.lit("Hanzi").alias("entity_type"),
+        F.col("basic_info.data.character").alias("name"),
+        F.col("path").alias("url"),
+        F.to_json(F.struct("basic_info", "unicode_decimal")).alias("properties"),
+        F.lit(True).alias("crawled"),
+    )
+
+    all_nodes = term_nodes.unionByName(stub_nodes).unionByName(hanzi_nodes)
+    # upsert semantics: a crawled row replaces a mention-minted stub
+    # (INSERT IGNORE + ON DUP KEY UPDATE — chengyu_mysql.py:162-221);
+    # deterministic winner: crawled first, then lexicographic url.
+    node_w = Window.partitionBy("node_id").orderBy(
+        F.col("crawled").desc(), F.col("url").asc_nulls_last()
+    )
+    nodes = (
+        all_nodes.withColumn("_rn", F.row_number().over(node_w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("updated_at", F.current_timestamp())
+    )
+
+    # ---- edges ---------------------------------------------------------------
+    syn_ant = (
+        mentions.where(F.col("entity_type") == "Idiom")
+        .transform(lambda df: T.undirected_by_name(df, "Idiom"))
+        .unionByName(
+            mentions.where(F.col("entity_type") == "Word").transform(
+                lambda df: T.undirected_by_name(df, "Word")
+            )
+        )
+    )
+
+    hanzi_dim = hz_valid.select(F.col("basic_info.data.character").alias("name"))
+    composed = (
+        T.composed_of(terms.where(F.col("entity_type") == "Idiom"), hanzi_dim, "Idiom")
+        .unionByName(
+            T.composed_of(terms.where(F.col("entity_type") == "Word"), hanzi_dim, "Word")
+        )
+    )
+
+    radicals = hz_valid.select(
+        F.regexp_replace(F.col("basic_info.data.bushou_detail.text"), "部$", "").alias(
+            "radical"
+        ),
+        F.col("basic_info.data.character").alias("hanzi"),
+        F.col("path").alias("lineage"),
+    ).where(F.col("radical").isNotNull() & (F.length("radical") > 0))
+    radical_edges = T.directed(radicals, "Radical", "radical", "Hanzi", "hanzi", "radical-of")
+
+    variants = hz_valid.select(
+        F.col("basic_info.data.character").alias("src_name"),
+        F.explode(F.col("basic_info.data.variant_characters")).alias("v"),
+        F.col("path").alias("lineage"),
+    ).select(
+        "src_name", F.col("v.character").alias("mention"), F.lit("variant-of").alias("rel_type"), "lineage"
+    )
+    variant_edges = T.undirected_by_name(variants, "Hanzi")
+
+    hz_pinyin = hz_valid.select(
+        F.col("basic_info.data.character").alias("src_name"),
+        F.explode(F.col("basic_info.data.pinyin_info")).alias("p"),
+        F.col("path").alias("lineage"),
+    ).select("src_name", F.col("p.pinyin").alias("py"), "lineage").where(
+        F.length("py") > 0
+    )
+    hz_pinyin_edges = T.directed(hz_pinyin, "Hanzi", "src_name", "Pinyin", "py", "has-pinyin")
+    term_pinyin = terms.select(
+        "entity_type", F.col("name").alias("src_name"), F.col("pinyin").alias("py"),
+        F.col("path").alias("lineage"),
+    ).where(F.col("py").isNotNull() & (F.length("py") > 0))
+    term_pinyin_edges = (
+        T.directed(term_pinyin.where(F.col("entity_type") == "Idiom"), "Idiom",
+                   "src_name", "Pinyin", "py", "has-pinyin")
+        .unionByName(
+            T.directed(term_pinyin.where(F.col("entity_type") == "Word"), "Word",
+                       "src_name", "Pinyin", "py", "has-pinyin"))
+    )
+
+    hz_trans = hz_valid.select(
+        F.col("basic_info.data.character").alias("src_name"),
+        F.explode(F.col("fanyi_info.data.translations")).alias("t"),
+        F.col("path").alias("lineage"),
+    ).select(
+        "src_name",
+        F.concat_ws(": ", F.col("t.language"), F.col("t.translation")).alias("trans"),
+        "lineage",
+    )
+    # idiom translation string is "lang: text; lang: text" (extract_chengyu.py:168)
+    idiom_trans = terms.where(
+        (F.col("entity_type") == "Idiom") & F.col("translation").isNotNull()
+    ).select(
+        F.col("name").alias("src_name"),
+        F.explode(F.split(F.col("translation"), "; ")).alias("trans"),
+        F.col("path").alias("lineage"),
+    ).where(F.length("trans") > 0)
+    trans_edges = T.directed(
+        hz_trans, "Hanzi", "src_name", "Translation", "trans", "translation-of"
+    ).unionByName(
+        T.directed(idiom_trans, "Idiom", "src_name", "Translation", "trans", "translation-of")
+    )
+
+    raw_edges = (
+        syn_ant.unionByName(composed)
+        .unionByName(radical_edges)
+        .unionByName(variant_edges)
+        .unionByName(hz_pinyin_edges)
+        .unionByName(term_pinyin_edges)
+        .unionByName(trans_edges)
+    )
+    edges = (
+        T.dedup_edges(raw_edges)
+        .withColumn("run_id", F.lit(run_id))
+        .drop("lineage")
+    )
+    if cache:
+        edges = edges.persist()
+
+    # ---- canonicalization (variant-of alias graph → CC) --------------------
+    v_for_cc = edges.where(F.col("rel_type") == "variant-of")
+    if v_for_cc.limit(1).count() > 0:
+        mapping = canonical_mapping(v_for_cc, nodes)
+        edges_canonical = T.dedup_edges(
+            apply_canonicalization(edges, mapping).withColumn(
+                "lineage", F.col("src_name")
+            )
+        ).drop("lineage")
+    else:
+        edges_canonical = edges
+
+    # ---- name-level triples (golden P/R gate) ------------------------------
+    is_undirected = F.col("rel_type").isin(*UNDIRECTED)
+    triples = edges_canonical.select(
+        F.when(is_undirected, F.least("src_name", "dst_name"))
+        .otherwise(F.col("src_name"))
+        .alias("subj"),
+        F.col("rel_type").alias("pred"),
+        F.when(is_undirected, F.greatest("src_name", "dst_name"))
+        .otherwise(F.col("dst_name"))
+        .alias("obj"),
+    ).distinct()
+
+    missing = idiom_missing.withColumn("entity_type", F.lit("Idiom")).unionByName(
+        word_missing.withColumn("entity_type", F.lit("Word"))
+    )
+
+    family_counts = {
+        "idiom_seeds": idiom_seeds.count(),
+        "word_seeds": word_seeds.count(),
+        "idiom_missing": idiom_missing.count(),
+        "word_missing": word_missing.count(),
+        "hanzi_pages": hz.count(),
+        "hanzi_valid": hz_valid.count(),
+    }
+
+    return GraphResult(
+        nodes=nodes,
+        edges=edges,
+        edges_canonical=edges_canonical,
+        triples=triples,
+        missing=missing,
+        errors=hz_errors,
+        family_counts=family_counts,
+    )

@@ -1,0 +1,131 @@
+# -*- coding: utf-8 -*-
+"""Golden-triple E2E + graph invariants (SURVEY.md §5 plan, items 2-6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgpipe.corpus import corpus_to_dataframes, verify_manifest
+from kgpipe.pipeline import UNDIRECTED, build_graph
+from tests.oracle import golden_triples, precision_recall
+
+
+@pytest.fixture(scope="module")
+def graph(spark, small_corpus):
+    cdf, sdf = corpus_to_dataframes(spark, small_corpus)
+    return build_graph(spark, cdf, sdf)
+
+
+def test_sha256_manifest_invariant(spark, small_corpus):
+    cdf, _ = corpus_to_dataframes(spark, small_corpus)
+    assert verify_manifest(spark, cdf, small_corpus.manifest) == 0
+
+
+def test_golden_triple_precision_recall(graph, small_corpus):
+    ours = {(r.subj, r.pred, r.obj) for r in graph.triples.collect()}
+    golden = golden_triples(small_corpus)
+    p, r = precision_recall(ours, golden)
+    assert p >= 0.95 and r >= 0.95, (
+        f"P={p:.4f} R={r:.4f}; only-ours={sorted(ours - golden)[:5]} "
+        f"only-golden={sorted(golden - ours)[:5]}"
+    )
+    # on the clean synthetic corpus we expect exact agreement
+    assert (p, r) == (1.0, 1.0)
+
+
+def test_missing_detail_pages_counted(graph, small_corpus):
+    # the generator plants seeds with no page and h1-mismatch pages
+    assert graph.missing.count() > 0
+    missing_names = {r.name for r in graph.missing.collect()}
+    linked_names = {r.name for r in graph.nodes.where("crawled").collect()}
+    assert missing_names.isdisjoint(linked_names)
+
+
+def test_no_self_loops(graph):
+    assert graph.edges.where(F.col("src_id") == F.col("dst_id")).count() == 0
+    assert graph.edges_canonical.where(F.col("src_id") == F.col("dst_id")).count() == 0
+
+
+def test_undirected_canonical_order(graph):
+    bad = graph.edges.where(
+        F.col("rel_type").isin(*UNDIRECTED) & (F.col("src_name") > F.col("dst_name"))
+    )
+    assert bad.count() == 0
+
+
+def test_edge_uniqueness(graph):
+    total = graph.edges.count()
+    distinct = graph.edges.select("src_id", "dst_id", "rel_type").distinct().count()
+    assert total == distinct
+
+
+def test_node_id_uniqueness_and_types(graph):
+    nodes = graph.nodes
+    assert nodes.count() == nodes.select("node_id").distinct().count()
+    types = {r.entity_type for r in nodes.select("entity_type").distinct().collect()}
+    assert types <= {"Idiom", "Word", "Hanzi"}
+    # stub nodes exist only where a mention was never crawled
+    assert nodes.where(~F.col("crawled")).count() >= 0
+
+
+def test_predicate_vocabulary(graph):
+    preds = {r.rel_type for r in graph.edges.select("rel_type").distinct().collect()}
+    assert preds == {
+        "synonym", "antonym", "composed-of", "radical-of",
+        "variant-of", "has-pinyin", "translation-of",
+    }
+
+
+def test_variant_chain_canonicalized(graph, small_corpus):
+    """FIXTURES.md §3.2: a variant chain of length ≥3 must merge
+    transitively — no canonical edge may join two members of one cluster."""
+    variant_edges = graph.edges.where(F.col("rel_type") == "variant-of")
+    assert variant_edges.count() >= 2
+    # in canonical edges, every composed-of object is a canonical repr:
+    # no composed-of edge may point at a non-canonical cluster member
+    pairs = {(r.src_name, r.dst_name) for r in variant_edges.collect()}
+    import itertools
+
+    # union-find the clusters
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted([ra, rb])
+            parent[hi] = lo
+    clusters = {}
+    for x in parent:
+        clusters.setdefault(find(x), set()).add(x)
+    non_canonical = {m for root, ms in clusters.items() for m in ms if m != min(ms | {root})}
+    composed_objs = {
+        r.dst_name
+        for r in graph.edges_canonical.where(F.col("rel_type") == "composed-of").collect()
+    }
+    assert composed_objs.isdisjoint(non_canonical)
+
+
+def test_determinism_across_partitionings(spark, small_corpus, graph):
+    """Triples must be identical regardless of input partitioning — the
+    sandbox stand-in for N vs 4N executors (BASELINE.md §2)."""
+    cdf, sdf = corpus_to_dataframes(spark, small_corpus)
+    g1 = build_graph(spark, cdf.repartition(1), sdf.repartition(1), cache=False)
+    t_base = {(r.subj, r.pred, r.obj) for r in graph.triples.collect()}
+    t_one = {(r.subj, r.pred, r.obj) for r in g1.triples.collect()}
+    assert t_base == t_one
+
+
+def test_replay_idempotence(spark, small_corpus, graph):
+    """Running the pipeline twice and merging must equal one run
+    (INSERT IGNORE / upsert semantics, SURVEY.md T2-T3)."""
+    from kgpipe.triples import dedup_edges
+
+    twice = graph.edges.unionByName(graph.edges).withColumn(
+        "lineage", F.col("src_name")
+    )
+    merged = dedup_edges(twice).drop("lineage")
+    assert merged.count() == graph.edges.count()
