@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline (corpus →
+parse UDFs → linking → canonicalization → deduplicated triples) and
+returns the triples DataFrame. ``queries()`` exposes one entry per
+operator family from SURVEY.md §2 plus the training-data ops;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one (the KG pipeline and stub-codec multimodal entries
+are rows-only by design — their strong gate is tests/).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make kgpipe importable on executors even when the driver-provided
+    session lacks our session factory's addPyFile (--py-files contract)."""
+    from kgpipe.session import _package_zip
+
+    try:
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:
+        pass  # already added in this session
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline at sf0.001-ish scale → triples."""
+    _ship_package(spark)
+    from kgpipe.corpus import corpus_to_dataframes, generate_corpus
+    from kgpipe.pipeline import build_graph
+
+    corpus = generate_corpus(n_hanzi=30, n_words=40, n_idioms=30, seed=42)
+    cdf, sdf = corpus_to_dataframes(spark, corpus)
+    return build_graph(spark, cdf, sdf).triples
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kgpipe.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kgpipe.queries import ORACLES
+
+    return dict(ORACLES)

@@ -29,14 +29,24 @@ def connected_components(
     src: str = "src_id",
     dst: str = "dst_id",
     max_iterations: int = 25,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Undirected CC. Returns (node_id, component_id) with component_id =
     min(node_id) over the component.
+
+    ``num_partitions`` sizes the iteration shuffles. The alias graph is
+    tiny relative to the corpus (variants per char ≲ 10, nodes ≤ #hanzi),
+    so the default collapses to 1 partition — per-iteration scheduling
+    overhead would otherwise dominate. For a genuinely large input graph
+    pass an explicit partition count; the algorithm is unchanged.
     """
+    num_partitions = num_partitions or 1
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .repartition(num_partitions)
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node_id"))
@@ -86,8 +96,12 @@ def canonical_mapping(variant_edges: DataFrame, nodes: DataFrame) -> DataFrame:
         .agg(F.min_by("node_id", "name").alias("canonical_id"),
              F.min("name").alias("canonical_name"))
     )
-    return named.join(winners, "component_id", "inner").select(
-        "node_id", "canonical_id", "canonical_name"
+    # materialize once: the mapping is broadcast into every edge rewrite —
+    # without this the CC + nodes joins would re-run per downstream action
+    return (
+        named.join(winners, "component_id", "inner")
+        .select("node_id", "canonical_id", "canonical_name")
+        .localCheckpoint(eager=True)
     )
 
 

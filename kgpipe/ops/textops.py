@@ -1,0 +1,255 @@
+"""Text dedup / analysis operators over a ``documents(doc_id, text, lang,
+source, n_chars)`` table — all native Spark SQL expressions (JVM-side,
+whole-stage-codegen'd; no Python on any hot path).
+
+Determinism: every operator is a pure function of its input — hashes are
+md5/sha2 (not JVM-partitioning-dependent), survivors are elected by
+explicit deterministic ordering, floats are rounded at fixed precision.
+This is what makes each operator oracle-checkable against DuckDB running
+the equivalent ANSI SQL.
+
+Scale notes per operator are in the docstrings; the common theme: shuffle
+keys are hashes (uniform), candidate generation prunes the O(n²) pair
+space before any pairwise work, and skewed buckets are bounded by
+construction (band tables salt naturally via the band index).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash; survivor = min doc_id per hash.
+
+    One shuffle on md5(text) (uniform key → no skew); at 100 TB this is a
+    single hash-aggregate pass with map-side partial aggregation.
+    Returns (doc_id, content_hash, dup_count) for survivors.
+    """
+    return (
+        docs.select(F.col("doc_id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("doc_id", "content_hash", "dup_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash LSH near-dup
+# ---------------------------------------------------------------------------
+
+def shingles(docs: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
+    """Distinct character k-shingles per document — native explode over a
+    position sequence (no UDF)."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(char_length({text_col}) - {k - 1}, 1)),"
+                f" i -> substring({text_col}, i, {k}))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """MinHash via seeded md5: hash_j(s) = md5(j || s); signature_j =
+    min over shingles. Lexicographic min over hex digests is a valid
+    uniform min-hash. One aggregation, num_hashes columns."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(j) + "|"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """Band the signature (bands × rows_per_band = num_hashes), bucket-join
+    within bands: candidate pairs share ≥1 full band.
+
+    The self-join is per (band, band_hash) bucket — tiny groups, so the
+    quadratic blowup is bounded; the shuffle key (band_hash) is uniform.
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    """
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *members)).alias("bh"))
+        )
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bh")
+    left = banded.select(F.col("band"), F.col("bh"), F.col("doc_id").alias("doc_a"))
+    right = banded.select(F.col("band"), F.col("bh"), F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, ["band", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(
+    docs: DataFrame, k: int = 5, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Full MinHash+LSH near-dup candidate table."""
+    sh = shingles(docs, k=k)
+    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    return lsh_candidate_pairs(sig, bands=bands, rows_per_band=num_hashes // bands)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (verification stage for LSH candidates)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 5) -> DataFrame:
+    """Exact Jaccard over char k-shingles for the given candidate pairs.
+
+    |A∩B| via a join of the two shingle sets (pair-scoped, so the join
+    input is pre-pruned by LSH); |A∪B| = |A|+|B|-|A∩B|. Ratio of two
+    integers rounded at 4 dp — deterministic.
+    """
+    sh = shingles(docs, k=k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash over whitespace tokens.
+
+    Token hash = first 8 hex chars of md5 (32 bits, engine-portable);
+    bit_i contributes +1/−1 by token; simhash bit_i = majority sign.
+    All arithmetic on integers → bit-exact across engines. One explode +
+    one aggregation; the per-bit sums are a fixed-width column list, so
+    the whole thing stays in one codegen stage.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    toks = toks.select("doc_id", h.alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# language id / quality / tokens / fingerprint
+# ---------------------------------------------------------------------------
+
+_EN_STOPWORDS = "the,of,and,to,in,a,is,that,it,for,on,with,as,was,at,by,an,be,this,are"
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-free heuristic language id: CJK character share vs an
+    English stopword share over whitespace tokens."""
+    total_chars = F.char_length(F.col(text_col))
+    cjk_chars = total_chars - F.char_length(
+        F.regexp_replace(F.col(text_col), "[\\u4e00-\\u9fff]", "")
+    )
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    stop_arr = F.split(F.lit(_EN_STOPWORDS), ",")
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_toks = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.when(cjk_chars * 2 > total_chars, F.lit("zh"))
+        .when((n_toks > 0) & (stop_hits * 5 >= n_toks), F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("lang_pred"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / mean-token-length features and a
+    composite score — integer-ratio arithmetic rounded at 4 dp."""
+    text = F.col(text_col)
+    n_chars = F.char_length(text)
+    n_punct = n_chars - F.char_length(F.regexp_replace(text, "[\\.,;:!?'\"()]", ""))
+    toks = F.split(F.trim(text), "\\s+")
+    n_toks = F.size(toks)
+    stop_arr = F.split(F.lit(_EN_STOPWORDS), ",")
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    mean_tok = F.round(
+        (F.char_length(F.regexp_replace(text, "\\s+", "")) / F.greatest(n_toks, F.lit(1))), 4
+    )
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    stop_ratio = F.round(stop_hits / F.greatest(n_toks, F.lit(1)), 4)
+    score = F.round(
+        F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.4
+        + stop_ratio * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))) * 0.2,
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_measured"),
+        n_toks.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_tok.alias("mean_token_len"),
+        score.alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword proxy (alnum runs + punct)."""
+    text = F.col(text_col)
+    ws = F.size(F.filter(F.split(F.trim(text), "\\s+"), lambda t: F.length(t) > 0))
+    words = F.size(
+        F.filter(F.split(text, "[^A-Za-z0-9\\u4e00-\\u9fff]+"), lambda t: F.length(t) > 0)
+    )
+    return docs.select(
+        "doc_id", ws.alias("ws_tokens"), words.alias("word_tokens")
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized content fingerprint: lowercase, strip non-alnum
+    (unicode letters kept), md5. The canonical near-dup key for
+    formatting-only variants."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9\\u4e00-\\u9fff]", "")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))

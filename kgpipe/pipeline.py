@@ -50,6 +50,35 @@ class GraphResult:
     family_counts: dict
 
 
+def canonicalize_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Global alias canonicalization: CC over variant-of edges, endpoint
+    rewrite, re-dedup. Must run over the *complete* edge set (variant
+    clusters can span work-unit boundaries), which is why the runner
+    calls this after all buckets merge, not per bucket."""
+    v_for_cc = edges.where(F.col("rel_type") == "variant-of")
+    if v_for_cc.limit(1).count() == 0:
+        return edges
+    mapping = canonical_mapping(v_for_cc, nodes)
+    return T.dedup_edges(
+        apply_canonicalization(edges, mapping).withColumn("lineage", F.col("src_name"))
+    ).drop("lineage")
+
+
+def triples_view(edges_canonical: DataFrame) -> DataFrame:
+    """Name-level (subj, pred, obj) with undirected preds in lexicographic
+    canonical order — the golden P/R comparison format."""
+    is_undirected = F.col("rel_type").isin(*UNDIRECTED)
+    return edges_canonical.select(
+        F.when(is_undirected, F.least("src_name", "dst_name"))
+        .otherwise(F.col("src_name"))
+        .alias("subj"),
+        F.col("rel_type").alias("pred"),
+        F.when(is_undirected, F.greatest("src_name", "dst_name"))
+        .otherwise(F.col("dst_name"))
+        .alias("obj"),
+    ).distinct()
+
+
 def _family(corpus: DataFrame, prefix: str) -> DataFrame:
     # at scale `path` family is the corpus partition column → partition pruning
     return corpus.where(F.col("path").startswith(prefix + "/"))
@@ -88,7 +117,12 @@ def build_graph(
     seeds: DataFrame,
     run_id: str = "run-1",
     cache: bool = True,
+    hanzi_dim: DataFrame | None = None,
 ) -> GraphResult:
+    """``hanzi_dim`` (one ``name`` column) overrides the composed-of
+    dimension — the checkpointed runner passes the *global* character
+    universe so that a word in one bucket still links characters whose
+    zidian pages live in another bucket."""
     # ---- parse (one scan per family; zidian parsed once for 7 sections) ----
     chengyu_parsed = _family(corpus, "chengyu").withColumn(
         "parsed", parse_chengyu_udf("content", "path")
@@ -177,6 +211,8 @@ def build_graph(
         .withColumn("run_id", F.lit(run_id))
         .withColumn("updated_at", F.current_timestamp())
     )
+    if cache:
+        nodes = nodes.persist()
 
     # ---- edges ---------------------------------------------------------------
     syn_ant = (
@@ -189,7 +225,8 @@ def build_graph(
         )
     )
 
-    hanzi_dim = hz_valid.select(F.col("basic_info.data.character").alias("name"))
+    if hanzi_dim is None:
+        hanzi_dim = hz_valid.select(F.col("basic_info.data.character").alias("name"))
     composed = (
         T.composed_of(terms.where(F.col("entity_type") == "Idiom"), hanzi_dim, "Idiom")
         .unionByName(
@@ -275,41 +312,32 @@ def build_graph(
         edges = edges.persist()
 
     # ---- canonicalization (variant-of alias graph → CC) --------------------
-    v_for_cc = edges.where(F.col("rel_type") == "variant-of")
-    if v_for_cc.limit(1).count() > 0:
-        mapping = canonical_mapping(v_for_cc, nodes)
-        edges_canonical = T.dedup_edges(
-            apply_canonicalization(edges, mapping).withColumn(
-                "lineage", F.col("src_name")
-            )
-        ).drop("lineage")
-    else:
-        edges_canonical = edges
+    edges_canonical = canonicalize_edges(edges, nodes)
 
     # ---- name-level triples (golden P/R gate) ------------------------------
-    is_undirected = F.col("rel_type").isin(*UNDIRECTED)
-    triples = edges_canonical.select(
-        F.when(is_undirected, F.least("src_name", "dst_name"))
-        .otherwise(F.col("src_name"))
-        .alias("subj"),
-        F.col("rel_type").alias("pred"),
-        F.when(is_undirected, F.greatest("src_name", "dst_name"))
-        .otherwise(F.col("dst_name"))
-        .alias("obj"),
-    ).distinct()
+    triples = triples_view(edges_canonical)
 
     missing = idiom_missing.withColumn("entity_type", F.lit("Idiom")).unionByName(
         word_missing.withColumn("entity_type", F.lit("Word"))
     )
 
-    family_counts = {
-        "idiom_seeds": idiom_seeds.count(),
-        "word_seeds": word_seeds.count(),
-        "idiom_missing": idiom_missing.count(),
-        "word_missing": word_missing.count(),
-        "hanzi_pages": hz.count(),
-        "hanzi_valid": hz_valid.count(),
-    }
+    # lazy: each count is a job; callers that don't need metrics pay nothing
+    class _LazyCounts(dict):
+        _frames = {
+            "idiom_seeds": idiom_seeds,
+            "word_seeds": word_seeds,
+            "idiom_missing": idiom_missing,
+            "word_missing": word_missing,
+            "hanzi_pages": hz,
+            "hanzi_valid": hz_valid,
+        }
+
+        def __getitem__(self, key):
+            if key not in self:
+                self[key] = self._frames[key].count()
+            return super().__getitem__(key)
+
+    family_counts = _LazyCounts()
 
     return GraphResult(
         nodes=nodes,

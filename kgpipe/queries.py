@@ -1,0 +1,660 @@
+"""Driver-contract query registry: one entry per operator family from
+SURVEY.md §2 plus the training-data ops (dedup / similarity / text /
+multimodal), each mapped onto the standard testdata tables with an exact
+DuckDB oracle where the semantics are SQL-expressible.
+
+Engine-parity rules used throughout (verified against DuckDB 1.0):
+  * hashes: md5 / sha2-256 (identical hex in both engines),
+  * hex→int: Spark conv(x,16,10)::long ≡ DuckDB CAST('0x'||x AS BIGINT),
+  * money aggregation: per-row cast to DECIMAL, exact sum, final cast to
+    DOUBLE (immune to double partial-sum reordering),
+  * ratios: both engines divide the same doubles and round half-away —
+    identical results,
+  * array folds (aggregate/list_sum) are sequential left-to-right in both
+    engines → deterministic doubles,
+  * every aggregate/computed column aliased identically in both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kgpipe.ops import textops, vectorops
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def register(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# scans / filters / projections / limits  (SURVEY §2.1, §2.6)
+# ===========================================================================
+
+@_q(
+    "scan_filter_project",
+    "SELECT doc_id, n_chars, upper(source) AS source_u FROM documents WHERE lang = 'en'",
+)
+def scan_filter_project(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .where(F.col("lang") == "en")
+        .select("doc_id", "n_chars", F.upper("source").alias("source_u"))
+    )
+
+
+@_q(
+    "seed_scan_limit",
+    "SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING' "
+    "ORDER BY c_custkey LIMIT 50",
+)
+def seed_scan_limit(spark, sf):
+    # S1/S2 + O2: seed-universe scan with LIMIT (chengyu_neo4j.py:31-32)
+    return (
+        _t(spark, sf, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .orderBy("c_custkey")
+        .limit(50)
+        .select("c_custkey", "c_name")
+    )
+
+
+@_q("point_lookup", "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 42")
+def point_lookup(spark, sf):
+    # J6 (check_word.py:17)
+    return (
+        _t(spark, sf, "documents").where(F.col("doc_id") == 42).select("doc_id", "lang", "n_chars")
+    )
+
+
+@_q(
+    "order_limit_desc",
+    "SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def order_limit_desc(spark, sf):
+    # O1 (db_inspect.py:43) — global top-k, no full sort (TakeOrdered)
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+# ===========================================================================
+# joins  (SURVEY §2.3)
+# ===========================================================================
+
+@_q(
+    "dim_join_counts",
+    "SELECT r_name, count(*) AS cnt FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+)
+def dim_join_counts(spark, sf):
+    # J1: broadcast dimension join chain (both dims tiny → broadcast)
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_q(
+    "left_join_missing",
+    "SELECT c_mktsegment, count(*) AS missing FROM customer "
+    "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+    "  WHERE o_orderdate >= TIMESTAMP '2001-01-01') GROUP BY c_mktsegment",
+)
+def left_join_missing(spark, sf):
+    # J2 linkage-miss population = missing_detail_pages (batch_crawl.py:253-256)
+    c = _t(spark, sf, "customer")
+    o = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderdate") >= "2001-01-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        c.join(o, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("missing"))
+    )
+
+
+@_q(
+    "anti_join_pending",
+    "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+    "(SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01')",
+)
+def anti_join_pending(spark, sf):
+    # J5/U2: pending-set membership as left_anti (batch_crawl.py:311-315)
+    c = _t(spark, sf, "customer")
+    o = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderdate") >= "2001-01-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey")
+
+
+@_q(
+    "semi_join_members",
+    "SELECT p_partkey FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)",
+)
+def semi_join_members(spark, sf):
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return p.join(li, "p_partkey", "left_semi").select("p_partkey")
+
+
+@_q(
+    "relation_display_join",
+    "SELECT l.l_orderkey, l.l_linenumber, p.p_name, s.s_name FROM "
+    "(SELECT * FROM lineitem ORDER BY l_orderkey DESC, l_linenumber LIMIT 10) l "
+    "LEFT JOIN part p ON l.l_partkey = p.p_partkey "
+    "LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey",
+)
+def relation_display_join(spark, sf):
+    # J4: the reference's only literal SQL join (db_inspect.py:91)
+    li = (
+        _t(spark, sf, "lineitem")
+        .orderBy(F.col("l_orderkey").desc(), F.col("l_linenumber"))
+        .limit(10)
+    )
+    p = _t(spark, sf, "part")
+    s = _t(spark, sf, "supplier")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left")
+        .select("l_orderkey", "l_linenumber", "p_name", "s_name")
+    )
+
+
+# ===========================================================================
+# aggregations  (SURVEY §2.4)
+# ===========================================================================
+
+@_q(
+    "batch_metrics_agg",
+    "SELECT event_type, count(*) AS processed, "
+    "count(*) FILTER (WHERE value > 50) AS success, "
+    "count(*) FILTER (WHERE value <= 50) AS fail, "
+    "round((count(*) FILTER (WHERE value <= 50)) * 1.0 / count(*), 4) AS error_rate "
+    "FROM events GROUP BY event_type",
+)
+def batch_metrics_agg(spark, sf):
+    # A1/A2: the reference's per-batch counters + derived rates
+    # (batch_crawl.py:342-357), rounding preserved
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("processed"),
+        F.count(F.when(F.col("value") > 50, 1)).alias("success"),
+        F.count(F.when(F.col("value") <= 50, 1)).alias("fail"),
+        F.round(
+            F.count(F.when(F.col("value") <= 50, 1)) * 1.0 / F.count(F.lit(1)), 4
+        ).alias("error_rate"),
+    )
+
+
+@_q("resume_watermark", "SELECT max(event_id) AS max_end FROM events")
+def resume_watermark(spark, sf):
+    # A3/S15: resume from max(end) (batch_crawl.py:85-102)
+    return _t(spark, sf, "events").agg(F.max("event_id").alias("max_end"))
+
+
+@_q(
+    "distinct_normalize_terms",
+    "SELECT token, count(*) AS cnt FROM ("
+    "  SELECT trim(unnest(string_split(p_type, ' '))) AS token FROM part"
+    ") WHERE token <> '' GROUP BY token",
+)
+def distinct_normalize_terms(spark, sf):
+    # A5: explode → trim → drop empties → counted (chengyu_mysql.py:122,213)
+    p = _t(spark, sf, "part")
+    return (
+        p.select(F.explode(F.split("p_type", " ")).alias("token"))
+        .select(F.trim("token").alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_q(
+    "json_props_sum",
+    "SELECT event_type, sum(CAST(props::JSON ->> 'k' AS BIGINT)) AS k_sum "
+    "FROM events GROUP BY event_type",
+)
+def json_props_sum(spark, sf):
+    # JSON side-channel parsing (the reference stores JSON blobs; §2.8)
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum")
+    )
+
+
+# ===========================================================================
+# windows / dedup  (SURVEY §2.5)
+# ===========================================================================
+
+@_q(
+    "window_dedup_latest",
+    "SELECT user_id, event_id AS latest_event FROM ("
+    "  SELECT user_id, event_id, row_number() OVER ("
+    "    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events"
+    ") WHERE rn = 1",
+)
+def window_dedup_latest(spark, sf):
+    # window-over-key dedup with deterministic first-writer-wins
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("latest_event"))
+    )
+
+
+@_q(
+    "edge_canonicalize_pairs",
+    "SELECT DISTINCT least(l_partkey, l_suppkey) AS a, "
+    "greatest(l_partkey, l_suppkey) AS b FROM lineitem",
+)
+def edge_canonicalize_pairs(spark, sf):
+    # U3: undirected-pair canonicalization (chengyu_mysql.py:235-237)
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        F.least("l_partkey", "l_suppkey").alias("a"),
+        F.greatest("l_partkey", "l_suppkey").alias("b"),
+    ).distinct()
+
+
+@_q(
+    "window_topn_per_group",
+    "SELECT o_custkey, o_orderkey, rn FROM ("
+    "  SELECT o_custkey, o_orderkey, row_number() OVER ("
+    "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders"
+    ") WHERE rn <= 3",
+)
+def window_topn_per_group(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+# ===========================================================================
+# string / regex / scalar functions  (SURVEY §2.8)
+# ===========================================================================
+
+@_q(
+    "regexp_extract_priority",
+    "SELECT regexp_extract(o_orderpriority, '^(\\d+)', 1) AS pri, count(*) AS cnt "
+    "FROM orders GROUP BY pri",
+)
+def regexp_extract_priority(spark, sf):
+    # P12-style regex capture (hanyuguoxue.py:18-21)
+    o = _t(spark, sf, "orders")
+    return (
+        o.select(F.regexp_extract("o_orderpriority", r"^(\d+)", 1).alias("pri"))
+        .groupBy("pri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_q(
+    "title_normalize",
+    "SELECT p_partkey, replace(p_name, ' ', '') AS norm_name FROM part",
+)
+def title_normalize(spark, sf):
+    # P13: whitespace-stripped equality key (extract_chengyu.py:48)
+    return _t(spark, sf, "part").select(
+        "p_partkey", F.regexp_replace("p_name", " ", "").alias("norm_name")
+    )
+
+
+@_q("sha256_rows", "SELECT doc_id, sha256(text) AS sha FROM documents")
+def sha256_rows(spark, sf):
+    # input_hint row invariant: sha256(content)
+    return _t(spark, sf, "documents").select("doc_id", F.sha2("text", 256).alias("sha"))
+
+
+@_q(
+    "date_format_buckets",
+    "SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS cnt FROM orders GROUP BY ym",
+)
+def date_format_buckets(spark, sf):
+    # time formatting (batch_crawl.py:358)
+    o = _t(spark, sf, "orders")
+    return (
+        o.select(F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .groupBy("ym")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ===========================================================================
+# TPC-H-style analytics (pushdown / partial-agg showcase)
+# ===========================================================================
+
+@_q(
+    "tpch_q1_pricing",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price, "
+    "count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def tpch_q1_pricing(spark, sf):
+    li = _t(spark, sf, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_base_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_q(
+    "tpch_q3_revenue",
+    "SELECT l_orderkey, CAST(round(sum("
+    "  CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))"
+    "), 2) AS DOUBLE) AS revenue "
+    "FROM lineitem GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10",
+)
+def tpch_q3_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.round(rev, 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# dedup family (documents)
+# ===========================================================================
+
+@_q(
+    "dedup_exact",
+    "SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS dup_count "
+    "FROM documents GROUP BY md5(text)",
+)
+def dedup_exact(spark, sf):
+    return textops.dedup_exact(_t(spark, sf, "documents"))
+
+
+_MINHASH_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+    unnest([substr(text, i, 5) FOR i IN range(1, greatest(len(text) - 4, 1) + 1)]) AS shingle
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+), banded AS (
+  {bands}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+""".format(
+    mins=", ".join(f"min(md5('{j}|' || shingle)) AS mh{j}" for j in range(8)),
+    bands=" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS bh FROM sig"
+        for b in range(4)
+    ),
+)
+
+
+@_q("dedup_minhash_lsh", _MINHASH_ORACLE)
+def dedup_minhash_lsh(spark, sf):
+    return textops.dedup_minhash_lsh(_t(spark, sf, "documents"))
+
+
+_JACCARD_ORACLE = """
+WITH pairs AS (
+  SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b
+  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+), sh AS (
+  SELECT DISTINCT doc_id,
+    unnest([substr(text, i, 5) FOR i IN range(1, greatest(len(text) - 4, 1) + 1)]) AS shingle
+  FROM documents
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p JOIN sh a ON a.doc_id = p.doc_a JOIN sh b
+    ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b, round(i.i * 1.0 / (sa.n + sb.n - i.i), 4) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+"""
+
+
+@_q("ngram_jaccard_consecutive", _JACCARD_ORACLE)
+def ngram_jaccard_consecutive(spark, sf):
+    docs = _t(spark, sf, "documents")
+    d2 = docs.select((F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    pairs = docs.select(F.col("doc_id").alias("doc_a")).join(d2, "doc_a")
+    return textops.ngram_jaccard(docs, pairs)
+
+
+_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+  ) WHERE len(tok) > 0
+), sums AS (
+  SELECT doc_id, {sums} FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM sums
+""".format(
+    sums=", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(32)
+    ),
+    recon=" + ".join(f"(CASE WHEN b{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(32)),
+)
+
+
+@_q("simhash32", _SIMHASH_ORACLE)
+def simhash32(spark, sf):
+    return textops.simhash(_t(spark, sf, "documents"))
+
+
+# ===========================================================================
+# text analysis (documents)
+# ===========================================================================
+
+_STOP_SQL = "string_split('" + textops._EN_STOPWORDS + "', ',')"
+
+_LANGID_ORACLE = f"""
+SELECT doc_id,
+  CASE
+    WHEN (len(text) - len(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))) * 2 > len(text) THEN 'zh'
+    WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+     AND len(list_filter(string_split_regex(trim(text), '\\s+'),
+             t -> list_contains({_STOP_SQL}, lower(t)))) * 5
+         >= len(string_split_regex(trim(text), '\\s+')) THEN 'en'
+    ELSE 'other'
+  END AS lang_pred
+FROM documents
+"""
+
+
+@_q("text_language_id", _LANGID_ORACLE)
+def text_language_id(spark, sf):
+    return textops.language_id(_t(spark, sf, "documents"))
+
+
+_QUALITY_ORACLE = f"""
+SELECT doc_id,
+  len(text) AS n_chars_measured,
+  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+  round((len(text) - len(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))) * 1.0
+        / greatest(len(text), 1), 4) AS punct_ratio,
+  round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+        t -> list_contains({_STOP_SQL}, lower(t)))) * 1.0
+        / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS stopword_ratio,
+  round(len(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+        / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS mean_token_len,
+  round(
+    least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0) * 0.4
+    + round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+        t -> list_contains({_STOP_SQL}, lower(t)))) * 1.0
+        / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) * 0.4
+    + (1.0 - least(round((len(text) - len(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))) * 1.0
+        / greatest(len(text), 1), 4) * 5, 1.0)) * 0.2,
+  4) AS quality
+FROM documents
+"""
+
+
+@_q("text_quality_score", _QUALITY_ORACLE)
+def text_quality_score(spark, sf):
+    return textops.quality_score(_t(spark, sf, "documents"))
+
+
+@_q(
+    "token_counts",
+    "SELECT doc_id, "
+    "len(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)) AS ws_tokens, "
+    "len(list_filter(string_split_regex(text, '[^A-Za-z0-9\\x{4e00}-\\x{9fff}]+'), "
+    "t -> len(t) > 0)) AS word_tokens FROM documents",
+)
+def token_counts(spark, sf):
+    return textops.token_counts(_t(spark, sf, "documents"))
+
+
+@_q(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9\\x{4e00}-\\x{9fff}]', '', 'g')) "
+    "AS fingerprint FROM documents",
+)
+def doc_fingerprint(spark, sf):
+    return textops.fingerprint(_t(spark, sf, "documents"))
+
+
+# ===========================================================================
+# similarity search (embeddings)
+# ===========================================================================
+
+@_q(
+    "embedding_l2_norm",
+    "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, "
+    "x -> x::DOUBLE * x::DOUBLE))), 4) AS l2_norm FROM embeddings",
+)
+def embedding_l2_norm(spark, sf):
+    return vectorops.l2_norms(_t(spark, sf, "embeddings"))
+
+
+_COSINE_ORACLE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round(
+  list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))
+  / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cosine
+FROM embeddings e, q ORDER BY cosine DESC, e.vec_id LIMIT 10
+"""
+
+
+@_q("ann_cosine_topk", _COSINE_ORACLE)
+def ann_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    return vectorops.cosine_topk(emb, qvec, k=10)
+
+
+@_q("ann_lsh_topk")  # rows-only: bucket pruning is a Spark-side plan choice
+def ann_lsh_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    return vectorops.ann_lsh_topk(emb, qvec, k=10)
+
+
+# ===========================================================================
+# KG pipeline (non-SQL-expressible → rows-only checks; the strong gate is
+# the pytest golden-triple suite)
+# ===========================================================================
+
+def _kg_corpus(spark):
+    from kgpipe.corpus import corpus_to_dataframes, generate_corpus
+
+    corpus = generate_corpus(n_hanzi=30, n_words=40, n_idioms=30, seed=42)
+    return corpus_to_dataframes(spark, corpus)
+
+
+@_q("kg_triples")
+def kg_triples(spark, sf):
+    from kgpipe.pipeline import build_graph
+
+    cdf, sdf = _kg_corpus(spark)
+    return build_graph(spark, cdf, sdf).triples
+
+
+@_q("kg_nodes")
+def kg_nodes(spark, sf):
+    from kgpipe.pipeline import build_graph
+
+    cdf, sdf = _kg_corpus(spark)
+    return build_graph(spark, cdf, sdf).nodes.select(
+        "node_id", "entity_type", "name", "crawled"
+    )
+
+
+@_q("kg_variant_components")
+def kg_variant_components(spark, sf):
+    from kgpipe.canon import canonical_mapping
+    from kgpipe.pipeline import build_graph
+
+    cdf, sdf = _kg_corpus(spark)
+    g = build_graph(spark, cdf, sdf)
+    variant = g.edges.where(F.col("rel_type") == "variant-of")
+    return canonical_mapping(variant, g.nodes).select("node_id", "canonical_name")
+
+
+# ===========================================================================
+# multimodal plumbing (deterministic stub codecs → rows-only checks)
+# ===========================================================================
+
+@_q("multimodal_image_meta")
+def multimodal_image_meta(spark, sf):
+    from kgpipe.ops.multimodal import image_metadata, synthetic_media
+
+    return image_metadata(synthetic_media(spark, 32))
+
+
+@_q("multimodal_frame_sample")
+def multimodal_frame_sample(spark, sf):
+    from kgpipe.ops.multimodal import sample_video_frames, synthetic_media
+
+    return sample_video_frames(synthetic_media(spark, 32))

@@ -1,0 +1,135 @@
+# -*- coding: utf-8 -*-
+"""Training-data operators: dedup family semantics, similarity search,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgpipe.ops import textops, vectorops
+from kgpipe.ops.multimodal import (
+    image_metadata,
+    sample_video_frames,
+    synthetic_media,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the cat sat on the mat", "en"),  # exact dup of 1
+        (3, "the cat sat on the big mat", "en"),  # near dup
+        (4, "völlig anderes dokument über etwas", "de"),
+        (5, "一个中文文档的内容在这里", "zh"),
+        (6, "", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dedup_exact(docs):
+    out = {r.doc_id: r.dup_count for r in textops.dedup_exact(docs).collect()}
+    assert out[1] == 2  # doc 2 collapsed into 1 (min doc_id survives)
+    assert 2 not in out
+    assert out[3] == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in textops.dedup_minhash_lsh(docs).collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+    # unrelated docs should not collide on every band
+    assert (1, 4) not in pairs and (1, 5) not in pairs
+
+
+def test_ngram_jaccard(docs, spark):
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long")
+    j = {(r.doc_a, r.doc_b): r.jaccard for r in textops.ngram_jaccard(docs, pairs).collect()}
+    assert j[(1, 2)] == 1.0
+    assert 0.3 < j[(1, 3)] < 1.0
+    assert (1, 4) not in j or j[(1, 4)] < 0.1
+
+
+def test_simhash_similarity_structure(docs):
+    out = {r.doc_id: r.simhash for r in textops.simhash(docs).collect()}
+    assert out[1] == out[2]  # identical text → identical simhash
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(out[1], out[3]) < hamming(out[1], out[4])
+
+
+def test_language_id(docs):
+    out = {r.doc_id: r.lang_pred for r in textops.language_id(docs).collect()}
+    assert out[1] == "en" and out[5] == "zh" and out[4] == "other"
+
+
+def test_quality_and_tokens(docs):
+    q = {r.doc_id: r for r in textops.quality_score(docs).collect()}
+    assert q[1].n_tokens == 6
+    assert q[1].stopword_ratio == 0.5  # the, on, the
+    t = {r.doc_id: r for r in textops.token_counts(docs).collect()}
+    assert t[1].ws_tokens == 6 and t[1].word_tokens == 6
+
+
+def test_fingerprint_ignores_formatting(spark):
+    d = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "HELLO-WORLD")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fingerprint for r in textops.fingerprint(d).collect()}
+    assert fps[1] == fps[2] == fps[3]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk(emb):
+    out = vectorops.cosine_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in out] == [0, 1, 4]
+    assert out[0].cosine == 1.0
+
+
+def test_ann_lsh_contains_exact_top1(emb):
+    out = vectorops.ann_lsh_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3, n_planes=4).collect()
+    assert out and out[0].vec_id == 0  # query itself lives in its own bucket
+
+
+def test_l2_norms(emb):
+    out = {r.vec_id: r.l2_norm for r in vectorops.l2_norms(emb).collect()}
+    assert out[0] == 1.0 and out[3] == 1.0
+
+
+def test_multimodal_image_meta(spark):
+    media = synthetic_media(spark, 30)
+    meta = image_metadata(media).collect()
+    assert len(meta) == len([r for r in media.collect() if r.kind == "image"])
+    assert all(len(m.sha256) == 64 and m.width > 0 and m.height > 0 for m in meta)
+    # deterministic: same payload → same fake dimensions
+    again = {m.media_id: (m.width, m.height) for m in image_metadata(media).collect()}
+    assert all((m.width, m.height) == again[m.media_id] for m in meta)
+
+
+def test_multimodal_strict_raises(spark):
+    media = synthetic_media(spark, 6)
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        image_metadata(media, strict=True).collect()
+
+
+def test_multimodal_frame_sampling(spark):
+    media = synthetic_media(spark, 30)
+    frames = sample_video_frames(media).collect()
+    assert len(frames) > 0
+    by_media = {}
+    for f in frames:
+        by_media.setdefault(f.media_id, []).append(f.frame_idx)
+    for idxs in by_media.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # contiguous frame ids

@@ -1,0 +1,103 @@
+"""Two-parallelism scaling run (BASELINE.md protocol).
+
+Runs bench.py at local[N] and local[4N] (default 8 vs 32) in separate
+processes (one JVM cannot host two masters), computes throughput at each
+level and the scaling efficiency
+
+    eff = throughput_4N / (4 × throughput_N)
+
+for the KG flagship (triples/sec) and the whole headline suite
+(suite-seconds ratio), and rewrites the results table in BENCH.md.
+
+Usage: python tools/bench_scaling.py [N] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cores: int, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    lo = run_bench(n, sf_dir)
+    hi = run_bench(4 * n, sf_dir)
+
+    tput_lo = lo["kg_triples_per_sec"]
+    tput_hi = hi["kg_triples_per_sec"]
+    kg_eff = round(tput_hi / (4 * tput_lo), 3)
+    suite_eff = round(lo["value"] / hi["value"] / 4, 3)
+
+    report = {
+        "cores_low": n,
+        "cores_high": 4 * n,
+        "sf": lo["sf"],
+        "kg_triples": lo["kg_triples"],
+        "kg_triples_per_sec_low": tput_lo,
+        "kg_triples_per_sec_high": tput_hi,
+        "kg_scaling_efficiency": kg_eff,
+        "suite_sec_low": lo["value"],
+        "suite_sec_high": hi["value"],
+        "suite_scaling_efficiency": suite_eff,
+        "queries_low": lo["queries"],
+        "queries_high": hi["queries"],
+        "timestamp": datetime.now(timezone.utc).isoformat(),
+    }
+    print(json.dumps(report, indent=2))
+
+    stamp = report["timestamp"][:19]
+    lines = [
+        "",
+        f"## Measured scaling results ({stamp}Z)",
+        "",
+        f"Protocol: identical job + input, `local[{n}]` vs `local[{4 * n}]` "
+        "(sandbox stand-in for N vs 4N executors), cold sessions, separate processes.",
+        "",
+        "| metric | local[%d] | local[%d] | scaling efficiency |" % (n, 4 * n),
+        "|---|---|---|---|",
+        f"| KG pipeline triples/sec ({lo['kg_triples']} triples) | {tput_lo} | {tput_hi} | **{kg_eff}** |",
+        f"| headline suite total sec (sf={lo['sf']}) | {lo['value']} | {hi['value']} | {suite_eff} |",
+        "",
+        "Per-query seconds:",
+        "",
+        "| query | local[%d] s | local[%d] s |" % (n, 4 * n),
+        "|---|---|---|",
+    ]
+    for q in lo["queries"]:
+        lines.append(f"| {q} | {lo['queries'][q]} | {hi['queries'][q]} |")
+    lines.append("")
+
+    bench_md = os.path.join(REPO, "BENCH.md")
+    prev = ""
+    if os.path.exists(bench_md):
+        prev = open(bench_md).read().split("\n## Measured scaling results")[0].rstrip()
+    else:
+        prev = "# BENCH — scaling measurements\n\nSee BASELINE.md for the protocol."
+    with open(bench_md, "w") as fh:
+        fh.write(prev + "\n" + "\n".join(lines))
+    print(f"wrote {bench_md}")
+
+
+if __name__ == "__main__":
+    main()
