@@ -1,0 +1,81 @@
+"""spark-submit entry point (north_star packaging contract).
+
+    spark-submit --py-files kgpipe.zip -m ... kgpipe/runner.py \\
+        --corpus /data/corpus_parquet --seeds /data/seeds_parquet \\
+        --warehouse /data/kg_warehouse --run-id run-1 --buckets 64
+
+or locally: ``python -m kgpipe.runner --demo`` runs the synthetic corpus
+end-to-end and prints the metrics table.
+
+The run is resumable: re-invoking with the same warehouse skips
+checkpointed buckets (SURVEY.md T2); ``--retry-errors`` re-drives pages
+recorded in the errors table (T10, retry_errors.py:79-128).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="kgpipe KG-construction runner")
+    ap.add_argument("--corpus", help="parquet dir with corpus(repo,path,commit,lang,content)")
+    ap.add_argument("--seeds", help="parquet dir with seed_entities(name,entity_type)")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--run-id", default="run-1")
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--demo", action="store_true", help="use the synthetic corpus")
+    ap.add_argument("--retry-errors", action="store_true")
+    args = ap.parse_args()
+
+    from kgpipe.checkpoint import finalize, run_incremental
+    from kgpipe.session import get_spark
+
+    spark = get_spark(app_name=f"kgpipe-{args.run_id}", master=args.master)
+
+    if args.demo:
+        from kgpipe.corpus import corpus_to_dataframes, generate_corpus
+
+        corpus_df, seeds_df = corpus_to_dataframes(spark, generate_corpus())
+    else:
+        corpus_df = spark.read.parquet(args.corpus)
+        seeds_df = spark.read.parquet(args.seeds)
+
+    if args.retry_errors:
+        from kgpipe.materialize import Warehouse
+
+        wh = Warehouse(args.warehouse)
+        failed_keys = wh.errors.read(spark).select(F.col("key").alias("path")).distinct()
+        corpus_df = corpus_df.join(F.broadcast(failed_keys), "path", "left_semi")
+        wh.errors.truncate(spark)
+
+    wh = run_incremental(
+        spark,
+        corpus_df,
+        seeds_df,
+        args.warehouse,
+        run_id=args.run_id,
+        n_buckets=args.buckets,
+    )
+    edges_canonical, triples = finalize(wh, spark)
+
+    summary = {
+        "nodes": wh.nodes.read(spark).count(),
+        "edges": wh.edges.read(spark).count(),
+        "canonical_edges": edges_canonical.count(),
+        "triples": triples.count(),
+        "errors": wh.errors.read(spark).count(),
+    }
+    print(json.dumps(summary))
+    print("--- run_metrics ---")
+    for row in wh.run_metrics.read(spark).orderBy("batch_idx").collect():
+        print(json.dumps(row.asDict(), default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

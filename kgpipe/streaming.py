@@ -1,0 +1,99 @@
+"""Structured Streaming ingest: the crawler-as-a-stream restatement.
+
+The reference is a long-running incremental batch job (SURVEY.md §2.9);
+its streaming-ish semantics (fixed-size chunks, resume, replay-safe
+writes) map onto Structured Streaming directly:
+
+  * file-source corpus directory  = arriving crawl batches (T1),
+  * checkpointLocation            = resume watermark (T2),
+  * dropDuplicates on path        = pending-set / INSERT IGNORE replay
+                                    protection (T3),
+  * foreachBatch merge            = idempotent upsert sink (S9-S11).
+
+The hot path reuses the exact same Arrow-batched parse UDFs and edge
+derivations as the batch pipeline — one code path, two execution modes.
+Stateless transformations only (parse, explode, project) run in the
+stream itself; stateful merge happens in foreachBatch against the
+snapshot tables, which keeps the streaming state store empty and the
+sink idempotent (replayed micro-batches re-merge to the same result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgpipe import link as L
+from kgpipe import triples as T
+from kgpipe.parse.udfs import parse_chengyu_udf, parse_ciyu_udf
+from kgpipe.schemas import CORPUS_SCHEMA
+
+
+def stream_corpus(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over an arriving corpus directory (parquet)."""
+    return (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+
+def streaming_mention_edges(corpus_stream: DataFrame) -> DataFrame:
+    """Stateless stream: parse term pages → tagged mention edges.
+
+    Emits canonical undirected (src/dst, rel_type) rows per micro-batch;
+    global dedup happens at the merge sink (idempotent insert_ignore), so
+    no streaming state is held here.
+    """
+    chengyu = corpus_stream.where(F.col("path").startswith("chengyu/")).withColumn(
+        "parsed", parse_chengyu_udf("content", "path")
+    )
+    cidian = corpus_stream.where(F.col("path").startswith("cidian/")).withColumn(
+        "parsed", parse_ciyu_udf("content", "path")
+    )
+
+    def mentions(parsed: DataFrame, name_field: str, entity_type: str) -> DataFrame:
+        base = parsed.select(
+            F.col(f"parsed.data.{name_field}").alias("name"),
+            F.coalesce(F.col("parsed.data.synonyms"), F.array()).alias("synonyms"),
+            F.coalesce(F.col("parsed.data.antonyms"), F.array()).alias("antonyms"),
+            "path",
+        ).where(F.col("name").isNotNull())
+        m = L.extract_mentions(base, "name", "synonyms", "antonyms")
+        return T.undirected_by_name(m, entity_type)
+
+    return mentions(chengyu, "chengyu", "Idiom").unionByName(
+        mentions(cidian, "word", "Word")
+    )
+
+
+def run_stream_to_warehouse(
+    spark: SparkSession,
+    source_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+) -> None:
+    """availableNow streaming run: drain the source, merge each micro-batch
+    idempotently into the edges snapshot table, stop."""
+    from kgpipe.materialize import Warehouse
+
+    wh = Warehouse(warehouse_root)
+    edges_stream = streaming_mention_edges(stream_corpus(spark, source_dir))
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch = batch_df.withColumn("run_id", F.lit("stream")).select(
+            "src_id", "dst_id", "rel_type", "src_name", "dst_name",
+            "properties", "run_id", "lineage",
+        )
+        deduped = T.dedup_edges(batch).drop("lineage")
+        wh.edges.insert_ignore(
+            deduped, keys=["src_id", "dst_id", "rel_type"], order_by=["src_name"]
+        )
+
+    (
+        edges_stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

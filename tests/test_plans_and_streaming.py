@@ -1,0 +1,99 @@
+# -*- coding: utf-8 -*-
+"""Physical-plan guarantees (the 100 TB checklist, made executable) and
+the Structured Streaming ingest mode."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgpipe import plans
+from kgpipe.corpus import corpus_to_dataframes
+from kgpipe.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_dim_join_is_broadcast(spark):
+    df = QUERIES["dim_join_counts"](spark, SF_DIR)
+    plans.assert_broadcast_join(df)
+    plans.assert_no_shuffle_join(df)
+
+
+def test_scan_pushdown_and_pruning(spark):
+    df = QUERIES["scan_filter_project"](spark, SF_DIR)
+    plans.assert_pushed_filters(df)
+    # projection needs doc_id/n_chars/source/lang only — text must be pruned
+    plans.assert_column_pruned(df, ["text"])
+
+
+def test_point_lookup_pushdown(spark):
+    df = QUERIES["point_lookup"](spark, SF_DIR)
+    plans.assert_pushed_filters(df)
+
+
+def test_no_row_at_a_time_python_anywhere(spark, small_corpus):
+    from kgpipe.pipeline import build_graph
+
+    cdf, sdf = corpus_to_dataframes(spark, small_corpus)
+    g = build_graph(spark, cdf, sdf, cache=False)
+    for df in (g.nodes, g.edges, g.triples):
+        plans.assert_arrow_only_python(df)
+    for name in ("dedup_minhash_lsh", "simhash32", "ann_cosine_topk", "tpch_q1_pricing"):
+        plans.assert_arrow_only_python(QUERIES[name](spark, SF_DIR))
+
+
+def test_linkage_join_is_broadcast(spark, small_corpus):
+    from kgpipe.link import link_seeds_to_pages
+    from kgpipe.parse.udfs import parse_chengyu_udf
+
+    cdf, sdf = corpus_to_dataframes(spark, small_corpus)
+    parsed = cdf.where(F.col("path").startswith("chengyu/")).withColumn(
+        "parsed", parse_chengyu_udf("content", "path")
+    )
+    linked, _ = link_seeds_to_pages(
+        sdf.where(F.col("entity_type") == "Idiom").select("name"),
+        parsed,
+        "parsed.data.chengyu",
+    )
+    plans.assert_broadcast_join(linked)
+    plans.assert_no_shuffle_join(linked)
+
+
+def test_codegen_covers_native_ops(spark):
+    df = QUERIES["tpch_q1_pricing"](spark, SF_DIR)
+    assert plans.count_codegen_stages(df) >= 1
+
+
+def test_streaming_matches_batch(spark, small_corpus, tmp_path):
+    """availableNow stream over the corpus directory must produce exactly
+    the batch pipeline's synonym/antonym edge set, and replaying the
+    stream must be a no-op (idempotent merge sink)."""
+    from kgpipe.materialize import Warehouse
+    from kgpipe.pipeline import build_graph
+    from kgpipe.streaming import run_stream_to_warehouse
+
+    cdf, sdf = corpus_to_dataframes(spark, small_corpus)
+    src = str(tmp_path / "arriving")
+    cdf.repartition(4).write.mode("overwrite").parquet(src)
+
+    wh_root = str(tmp_path / "stream_wh")
+    run_stream_to_warehouse(spark, src, wh_root, str(tmp_path / "ckpt1"))
+    wh = Warehouse(wh_root)
+    streamed = {
+        (r.src_name, r.dst_name, r.rel_type) for r in wh.edges.read(spark).collect()
+    }
+
+    g = build_graph(spark, cdf, sdf, cache=False)
+    batch = {
+        (r.src_name, r.dst_name, r.rel_type)
+        for r in g.edges.where(F.col("rel_type").isin("synonym", "antonym")).collect()
+    }
+    # stream parses every page; batch links through seeds — every batch
+    # edge must be streamed, and extras only from unlinked pages
+    assert batch <= streamed
+
+    # replay with a fresh checkpoint → same table (idempotence)
+    v = wh.edges.current_version()
+    run_stream_to_warehouse(spark, src, wh_root, str(tmp_path / "ckpt2"))
+    assert {
+        (r.src_name, r.dst_name, r.rel_type) for r in wh.edges.read(spark).collect()
+    } == streamed
