@@ -81,6 +81,14 @@ def connected_components(
     )
 
 
+#: alias graphs up to this many edges are solved with one collect + a
+#: driver union-find instead of the iterative DataFrame loop. The variant
+#: graph is bounded by the character universe (~90k even at full CJK
+#: coverage, a few MB), while the DataFrame loop costs ~2 driver-side plan
+#: compilations + jobs per iteration — pure serial overhead at any scale.
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
 def canonical_mapping(variant_edges: DataFrame, nodes: DataFrame) -> DataFrame:
     """(node_id → canonical_id, canonical_name) from variant-of edges.
 
@@ -89,7 +97,42 @@ def canonical_mapping(variant_edges: DataFrame, nodes: DataFrame) -> DataFrame:
     outside any variant cluster map to themselves implicitly (callers
     left-join and coalesce).
     """
-    comp = connected_components(variant_edges)
+    spark = variant_edges.sparkSession
+    slim = variant_edges.select("src_id", "dst_id", "src_name", "dst_name")
+    # one job decides the path AND fetches the small-graph data: collect up
+    # to the threshold + 1; only exceeding it falls back to distributed CC
+    rows = slim.limit(DRIVER_CC_MAX_EDGES + 1).collect()
+    if not rows:
+        return None  # no alias graph → canonicalization is the identity
+    if len(rows) <= DRIVER_CC_MAX_EDGES:
+        parent: dict = {}
+        name_of: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            name_of[r.src_id] = r.src_name
+            name_of[r.dst_id] = r.dst_name
+            ra, rb = find(r.src_id), find(r.dst_id)
+            if ra != rb:
+                lo, hi = (ra, rb) if (name_of[ra], ra) < (name_of[rb], rb) else (rb, ra)
+                parent[hi] = lo
+        out = [
+            (node, find(node), name_of[find(node)])
+            for node in parent
+        ]
+        return spark.createDataFrame(
+            out, "node_id long, canonical_id long, canonical_name string"
+        )
+
+    comp = connected_components(
+        variant_edges, num_partitions=max(slim.count() // 2_000_000, 8)
+    )
     named = comp.join(nodes.select("node_id", "name"), "node_id", "inner")
     winners = (
         named.groupBy("component_id")

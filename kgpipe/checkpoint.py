@@ -89,7 +89,8 @@ def run_incremental(
         .distinct()
     )
 
-    for bucket in pending_units(wh, spark, n_buckets):
+    pending = pending_units(wh, spark, n_buckets)
+    for bucket in pending:
         t0 = time.time()
         part_key = f"{run_id}-bucket-{bucket}"
         c_slice = corpus_b.where(F.col("_bucket") == bucket).drop("_bucket")
@@ -131,7 +132,8 @@ def run_incremental(
             "success": success,
             "fail": fail,
             "missing_detail_pages": missing,
-            "termination_reason": "batch_completed",
+            # T8 vocabulary (README.md:50-56): all_done on the last unit
+            "termination_reason": "all_done" if bucket == pending[-1] else "batch_completed",
             "elapsed_seconds": elapsed,
             "insert_rate_per_sec": round(success / elapsed, 3) if elapsed > 0 else 0.0,
             "error_rate": round(fail / processed, 4) if processed > 0 else 0.0,

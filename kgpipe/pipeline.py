@@ -55,10 +55,9 @@ def canonicalize_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     rewrite, re-dedup. Must run over the *complete* edge set (variant
     clusters can span work-unit boundaries), which is why the runner
     calls this after all buckets merge, not per bucket."""
-    v_for_cc = edges.where(F.col("rel_type") == "variant-of")
-    if v_for_cc.limit(1).count() == 0:
+    mapping = canonical_mapping(edges.where(F.col("rel_type") == "variant-of"), nodes)
+    if mapping is None:  # no alias graph
         return edges
-    mapping = canonical_mapping(v_for_cc, nodes)
     return T.dedup_edges(
         apply_canonicalization(edges, mapping).withColumn("lineage", F.col("src_name"))
     ).drop("lineage")
@@ -149,8 +148,6 @@ def build_graph(
     terms = _term_frame(idiom_linked, "Idiom", "chengyu").unionByName(
         _term_frame(word_linked, "Word", "word")
     )
-    if cache:
-        terms = terms.persist()
 
     # ---- hanzi validity (hanyuguoxue.py:1155-1157) -------------------------
     hz = zidian_parsed.select("path", "parsed.*")
@@ -158,7 +155,19 @@ def build_graph(
         F.col("error").isNull() & F.col("basic_info.data.character").isNotNull()
     )
     if cache:
-        hz_valid = hz_valid.persist()
+        # eager localCheckpoint: seven edge families fan out from `terms`
+        # and `hz_valid`; a cold cache would let concurrent branches
+        # recompute the parse+linkage lineage, and the un-truncated lineage
+        # (deep nested parse structs) makes every downstream plan
+        # compilation pay the full analysis cost on the driver.
+        # Checkpointing pins the data once AND flattens the plan; the two
+        # independent barriers run as concurrent Spark jobs.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_terms = pool.submit(lambda: terms.localCheckpoint(eager=True))
+            f_hz = pool.submit(lambda: hz_valid.localCheckpoint(eager=True))
+            terms, hz_valid = f_terms.result(), f_hz.result()
     hz_errors = hz.where(
         F.col("error").isNotNull() | F.col("basic_info.data.character").isNull()
     ).select(
@@ -177,8 +186,8 @@ def build_graph(
         "properties",
         F.lit(True).alias("crawled"),
     )
-    mentions = L.extract_mentions(terms, "name", "synonyms", "antonyms").join(
-        terms.select(F.col("name").alias("src_name"), "entity_type"), "src_name", "inner"
+    mentions = L.extract_mentions(
+        terms, "name", "synonyms", "antonyms", carry_cols=("entity_type",)
     )
     stub_nodes = mentions.select(
         node_id("entity_type", "mention").alias("node_id"),
@@ -212,27 +221,20 @@ def build_graph(
         .withColumn("updated_at", F.current_timestamp())
     )
     if cache:
+        # lazy persist (NOT an eager barrier): the flagship triples path
+        # never materializes nodes — canonicalization maps come from the
+        # variant edges alone — so nodes only compute when a caller reads
+        # them (warehouse merge, inspection)
         nodes = nodes.persist()
 
     # ---- edges ---------------------------------------------------------------
-    syn_ant = (
-        mentions.where(F.col("entity_type") == "Idiom")
-        .transform(lambda df: T.undirected_by_name(df, "Idiom"))
-        .unionByName(
-            mentions.where(F.col("entity_type") == "Word").transform(
-                lambda df: T.undirected_by_name(df, "Word")
-            )
-        )
-    )
+    # single narrow pass per family — entity_type rides as a column, so no
+    # filter-per-type double evaluation and no join-back (SURVEY.md §4)
+    syn_ant = T.undirected_by_name(mentions, F.col("entity_type"))
 
     if hanzi_dim is None:
         hanzi_dim = hz_valid.select(F.col("basic_info.data.character").alias("name"))
-    composed = (
-        T.composed_of(terms.where(F.col("entity_type") == "Idiom"), hanzi_dim, "Idiom")
-        .unionByName(
-            T.composed_of(terms.where(F.col("entity_type") == "Word"), hanzi_dim, "Word")
-        )
-    )
+    composed = T.composed_of(terms, hanzi_dim)
 
     radicals = hz_valid.select(
         F.regexp_replace(F.col("basic_info.data.bushou_detail.text"), "部$", "").alias(
@@ -264,12 +266,8 @@ def build_graph(
         "entity_type", F.col("name").alias("src_name"), F.col("pinyin").alias("py"),
         F.col("path").alias("lineage"),
     ).where(F.col("py").isNotNull() & (F.length("py") > 0))
-    term_pinyin_edges = (
-        T.directed(term_pinyin.where(F.col("entity_type") == "Idiom"), "Idiom",
-                   "src_name", "Pinyin", "py", "has-pinyin")
-        .unionByName(
-            T.directed(term_pinyin.where(F.col("entity_type") == "Word"), "Word",
-                       "src_name", "Pinyin", "py", "has-pinyin"))
+    term_pinyin_edges = T.directed(
+        term_pinyin, F.col("entity_type"), "src_name", "Pinyin", "py", "has-pinyin"
     )
 
     hz_trans = hz_valid.select(
@@ -309,7 +307,7 @@ def build_graph(
         .drop("lineage")
     )
     if cache:
-        edges = edges.persist()
+        edges = edges.localCheckpoint(eager=True)
 
     # ---- canonicalization (variant-of alias graph → CC) --------------------
     edges_canonical = canonicalize_edges(edges, nodes)

@@ -33,8 +33,9 @@ def test_incremental_equals_single_shot(spark, small_corpus, frames, tmp_path):
     assert pending_units(wh, spark, 3) == []
     m = wh.run_metrics.read(spark)
     assert m.count() == 3
+    reasons = [r.termination_reason for r in m.orderBy("batch_idx").collect()]
+    assert reasons == ["batch_completed", "batch_completed", "all_done"]
     row = m.first()
-    assert row.termination_reason == "batch_completed"
     assert row.processed == row.success + row.missing_detail_pages
     # resume watermark equivalent (A3): max(end) over metrics
     assert m.agg(F.max("end")).first()[0] == 3

@@ -1,0 +1,71 @@
+# -*- coding: utf-8 -*-
+"""Property tests: parsers must never raise on arbitrary input, and the
+mini-DOM must uphold its structural invariants (SURVEY.md §5 item 6).
+
+Pure-Python (no Spark session) — these cover the per-document UDF body.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kgpipe.htmldom import Element, parse_html
+from kgpipe.parse.chengyu import parse_chengyu_html
+from kgpipe.parse.ciyu import parse_ciyu_html
+from kgpipe.parse.hanzi import parse_evolution, parse_hanzi_html
+
+# fragments that bias the fuzzer toward parser-relevant structure
+_TOKENS = st.sampled_from(
+    [
+        "<div class='ci-title'>", "</div>", "<h1>", "</h1>", "<p>", "</p>",
+        "<span>", "</span>", "<a href='/x'>", "</a>", "<label>", "</label>",
+        "注音：ㄨㄤ", "近义词", "反义词", "感情", "出处：x", "<br>", "&amp;",
+        "<div data-id=\"基本信息\">", "<div class=\"zi-title\">", "<h2>王</h2>",
+        "<img src=x>", "text 文本", "<p class='explain'>", "<span class='no'>1.</span>",
+        "<", ">", "'", '"', "=",
+    ]
+)
+_SOUP = st.lists(_TOKENS, max_size=40).map("".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_SOUP)
+def test_parsers_never_raise(html):
+    for fn in (parse_chengyu_html, parse_ciyu_html, parse_hanzi_html):
+        out = fn(html, "p")
+        assert isinstance(out, dict) and out.get("url") == "p"
+    assert isinstance(parse_evolution(html), list)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_parsers_survive_arbitrary_text(text):
+    out = parse_chengyu_html(text, None)
+    assert isinstance(out, dict)
+    out = parse_hanzi_html(text, "zidian/zi-1")
+    assert out["unicode_decimal"] == 1
+
+
+@settings(max_examples=150, deadline=None)
+@given(_SOUP)
+def test_dom_structural_invariants(html):
+    doc = parse_html(html)
+    seen = set()
+    for node in doc.iter_descendants():
+        assert id(node) not in seen, "cycle in DOM"
+        seen.add(id(node))
+        if isinstance(node, Element):
+            assert node.parent is not None
+            assert any(child is node for child in node.parent.children)
+    # text round-trip never raises and is a plain string
+    assert isinstance(doc.get_text(), str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_SOUP, st.sampled_from(["div", "p", "span", "a"]))
+def test_find_all_consistent_with_find(html, tag):
+    doc = parse_html(html)
+    all_hits = doc.find_all(tag)
+    first = doc.find(tag)
+    assert (first is None) == (len(all_hits) == 0)
+    if all_hits:
+        assert first is all_hits[0]

@@ -24,7 +24,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_bench(cores: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_GRAFT_SF_DIR=sf_dir)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cores),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        # scaling protocol config: large corpus so parallel work dominates
+        # the fixed per-run floor; heap sized to keep the single-JVM local
+        # mode out of GC-pressure territory at that volume
+        KGPIPE_BENCH_SCALE=os.environ.get("KGPIPE_BENCH_SCALE", "4800"),
+        KGPIPE_DRIVER_MEM=os.environ.get("KGPIPE_DRIVER_MEM", "48g"),
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -38,7 +47,10 @@ def run_bench(cores: int, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    # default N=4 → 4N=16: on the 32-core sandbox host this keeps JVM task
+    # threads + python UDF workers within physical cores at BOTH levels, so
+    # the measurement isolates parallelism scaling from oversubscription
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 
     lo = run_bench(n, sf_dir)

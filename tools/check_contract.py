@@ -27,7 +27,9 @@ def duck_conn(sf_dir: str):
     return con
 
 
-def normalize(rows, cols):
+def normalize(rows, cols, full_precision: bool = True):
+    """full_precision=True compares float bit-patterns (repr) — the
+    strictest possible driver behavior."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -38,7 +40,7 @@ def normalize(rows, cols):
                 if math.isnan(v):
                     v = "NaN"
                 else:
-                    v = f"{v:.9g}"
+                    v = repr(v) if full_precision else f"{v:.9g}"
             vals.append(str(v))
         out.append(tuple(vals))
     return sorted(out)
