@@ -81,11 +81,11 @@ def run_stream_to_warehouse(
     edges_stream = streaming_mention_edges(stream_corpus(spark, source_dir))
 
     def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        batch = batch_df.withColumn("run_id", F.lit("stream")).select(
-            "src_id", "dst_id", "rel_type", "src_name", "dst_name",
-            "properties", "run_id", "lineage",
+        deduped = (
+            T.dedup_edges(batch_df)
+            .drop("lineage")
+            .withColumn("run_id", F.lit("stream"))
         )
-        deduped = T.dedup_edges(batch).drop("lineage")
         wh.edges.insert_ignore(
             deduped, keys=["src_id", "dst_id", "rel_type"], order_by=["src_name"]
         )

@@ -125,7 +125,8 @@ def composed_of(
     (FIXTURES.md §3.2) — enforced with a broadcast semi-join against the
     hanzi dimension, which also makes the head-skew keys (一/不)
     shuffle-free (see kgpipe.link docstring). Per-term duplicate chars
-    collapse later in the global window dedup — no pre-distinct shuffle.
+    collapse in the global dedup's map-side partial aggregation — no
+    pre-distinct shuffle here.
     """
     et = _type_col(entity_type if entity_type is not None else F.col("entity_type"))
     chars = terms.select(
