@@ -51,6 +51,38 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Candidate generation blocks on ``block_col`` (at scale: an LSH bucket
+    or cluster id — here the label column plays that role) so the
+    quadratic pair space is per-block, not global; the cosine is computed
+    only for candidates. Returns (vec_a, vec_b, cosine) with
+    vec_a < vec_b and cosine ≥ threshold (rounded 4 dp).
+    """
+    a = emb.select(
+        F.col(block_col).alias("_b"), F.col("vec_id").alias("vec_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = emb.select(
+        F.col(block_col).alias("_b"), F.col("vec_id").alias("vec_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    pairs = a.join(b, "_b").where(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))), 4
+    )
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def hyperplane_signatures(
     emb: DataFrame, n_planes: int = 8, vec_col: str = "embedding", dim: int = 32
 ) -> DataFrame:

@@ -594,6 +594,26 @@ def ann_cosine_topk(spark, sf):
     return vectorops.cosine_topk(emb, qvec, k=10)
 
 
+_NEAR_DUP_ORACLE = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(
+  list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+  / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(
+  list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+  / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4) >= 0.3
+"""
+
+
+@_q("dedup_embedding_cosine", _NEAR_DUP_ORACLE)
+def dedup_embedding_cosine(spark, sf):
+    # near-dup by embedding cosine, candidates blocked per label (the
+    # stand-in for an LSH/cluster bucket at scale)
+    return vectorops.cosine_near_dup(_t(spark, sf, "embeddings"), threshold=0.3)
+
+
 @_q("ann_lsh_topk")  # rows-only: bucket pruning is a Spark-side plan choice
 def ann_lsh_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
