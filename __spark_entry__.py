@@ -56,6 +56,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from kgpipe.queries import ORACLES
+    from kgpipe.queries import all_oracles
 
-    return dict(ORACLES)
+    return all_oracles()

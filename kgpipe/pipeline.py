@@ -177,7 +177,8 @@ def build_graph(
         F.coalesce(F.col("error"), F.col("basic_info.error")).alias("error"),
     )
 
-    # ---- nodes -------------------------------------------------------------
+    # ---- crawled node frames (stub endpoints are minted below, after the
+    # edge families they derive from) --------------------------------------
     term_nodes = terms.select(
         node_id("entity_type", "name").alias("node_id"),
         "entity_type",
@@ -189,14 +190,6 @@ def build_graph(
     mentions = L.extract_mentions(
         terms, "name", "synonyms", "antonyms", carry_cols=("entity_type",)
     )
-    stub_nodes = mentions.select(
-        node_id("entity_type", "mention").alias("node_id"),
-        "entity_type",
-        F.col("mention").alias("name"),
-        F.lit(None).cast("string").alias("url"),
-        F.lit(None).cast("string").alias("properties"),
-        F.lit(False).alias("crawled"),
-    ).distinct()
     hanzi_nodes = hz_valid.select(
         node_id(F.lit("Hanzi"), F.col("basic_info.data.character")).alias("node_id"),
         F.lit("Hanzi").alias("entity_type"),
@@ -205,27 +198,6 @@ def build_graph(
         F.to_json(F.struct("basic_info", "unicode_decimal")).alias("properties"),
         F.lit(True).alias("crawled"),
     )
-
-    all_nodes = term_nodes.unionByName(stub_nodes).unionByName(hanzi_nodes)
-    # upsert semantics: a crawled row replaces a mention-minted stub
-    # (INSERT IGNORE + ON DUP KEY UPDATE — chengyu_mysql.py:162-221);
-    # deterministic winner: crawled first, then lexicographic url.
-    node_w = Window.partitionBy("node_id").orderBy(
-        F.col("crawled").desc(), F.col("url").asc_nulls_last()
-    )
-    nodes = (
-        all_nodes.withColumn("_rn", F.row_number().over(node_w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-        .withColumn("run_id", F.lit(run_id))
-        .withColumn("updated_at", F.current_timestamp())
-    )
-    if cache:
-        # lazy persist (NOT an eager barrier): the flagship triples path
-        # never materializes nodes — canonicalization maps come from the
-        # variant edges alone — so nodes only compute when a caller reads
-        # them (warehouse merge, inspection)
-        nodes = nodes.persist()
 
     # ---- edges ---------------------------------------------------------------
     # single narrow pass per family — entity_type rides as a column, so no
@@ -292,6 +264,58 @@ def build_graph(
     ).unionByName(
         T.directed(idiom_trans, "Idiom", "src_name", "Translation", "trans", "translation-of")
     )
+
+    # ---- nodes -------------------------------------------------------------
+    # Every edge endpoint gets a node row: crawled pages as full records,
+    # everything else (mentions, variant characters, radicals, pinyin and
+    # translation literals) as crawled=False stubs — no dangling edge ids
+    # (schemas.py entity_type vocabulary: Idiom | Word | Hanzi | Radical |
+    # Pinyin | Translation).
+    def _stub(df: DataFrame, entity_type, name_col: str) -> DataFrame:
+        et = F.lit(entity_type) if isinstance(entity_type, str) else entity_type
+        return df.select(et.alias("entity_type"), F.col(name_col).alias("name"))
+
+    endpoint_stubs = (
+        _stub(mentions, F.col("entity_type"), "mention")
+        .unionByName(_stub(radicals, "Radical", "radical"))
+        .unionByName(
+            _stub(variants.where(F.col("mention") != F.col("src_name")), "Hanzi", "mention")
+        )
+        .unionByName(_stub(hz_pinyin, "Pinyin", "py"))
+        .unionByName(_stub(term_pinyin, "Pinyin", "py"))
+        .unionByName(_stub(hz_trans, "Translation", "trans"))
+        .unionByName(_stub(idiom_trans, "Translation", "trans"))
+        .distinct()
+        .select(
+            node_id("entity_type", "name").alias("node_id"),
+            "entity_type",
+            "name",
+            F.lit(None).cast("string").alias("url"),
+            F.lit(None).cast("string").alias("properties"),
+            F.lit(False).alias("crawled"),
+        )
+    )
+
+    all_nodes = term_nodes.unionByName(endpoint_stubs).unionByName(hanzi_nodes)
+    # upsert semantics: a crawled row replaces a mention-minted stub
+    # (INSERT IGNORE + ON DUP KEY UPDATE — chengyu_mysql.py:162-221);
+    # deterministic winner: crawled first, then lexicographic url.
+    node_w = Window.partitionBy("node_id").orderBy(
+        F.col("crawled").desc(), F.col("url").asc_nulls_last()
+    )
+    nodes = (
+        all_nodes.withColumn("_rn", F.row_number().over(node_w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("updated_at", F.current_timestamp())
+    )
+    if cache:
+        # lazy persist (NOT an eager barrier): the flagship triples path
+        # never materializes nodes — canonicalization maps come from the
+        # variant edges alone — so nodes only compute when a caller reads
+        # them (warehouse merge, inspection)
+        nodes = nodes.persist()
 
     raw_edges = (
         syn_ant.unionByName(composed)

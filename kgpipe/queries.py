@@ -24,6 +24,9 @@ from kgpipe.ops import textops, vectorops
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
+#: oracle SQL built on demand (golden VALUES tables computed by the
+#: independent pure-Python oracle — cheap, but not free at import time)
+LAZY_ORACLES: dict = {}
 
 
 def _q(name: str, oracle: str | None = None):
@@ -34,6 +37,34 @@ def _q(name: str, oracle: str | None = None):
         return fn
 
     return register
+
+
+def _lazy_oracle(name: str):
+    def register(fn):
+        LAZY_ORACLES[name] = fn
+        return fn
+
+    return register
+
+
+def all_oracles() -> dict[str, str]:
+    """Static + lazily-built oracle SQL, one entry per oracle-checkable
+    query (the driver contract's ``oracle_sql()``)."""
+    out = dict(ORACLES)
+    for name, fn in LAZY_ORACLES.items():
+        out[name] = fn()
+    return out
+
+
+def _sq(s: str) -> str:
+    """SQL single-quoted string literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _values_table(rows, columns: list[str]) -> str:
+    """``SELECT * FROM (VALUES ...) t(cols)`` over pre-rendered SQL rows."""
+    vals = ", ".join("(" + ", ".join(r) + ")" for r in rows)
+    return f"SELECT * FROM (VALUES {vals}) AS t({', '.join(columns)})"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -241,7 +272,9 @@ def distinct_normalize_terms(spark, sf):
 
 @_q(
     "json_props_sum",
-    "SELECT event_type, sum(CAST(props::JSON ->> 'k' AS BIGINT)) AS k_sum "
+    # outer cast: DuckDB sum(BIGINT) yields HUGEINT while Spark yields LONG —
+    # values identical, hash representation not (CORRECTNESS_r01 mismatch)
+    "SELECT event_type, CAST(sum(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum "
     "FROM events GROUP BY event_type",
 )
 def json_props_sum(spark, sf):
@@ -614,23 +647,79 @@ def dedup_embedding_cosine(spark, sf):
     return vectorops.cosine_near_dup(_t(spark, sf, "embeddings"), threshold=0.3)
 
 
-@_q("ann_lsh_topk")  # rows-only: bucket pruning is a Spark-side plan choice
+@_q("ann_lsh_topk")
 def ann_lsh_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
     return vectorops.ann_lsh_topk(emb, qvec, k=10)
 
 
+@_lazy_oracle("ann_lsh_topk")
+def _ann_lsh_topk_oracle() -> str:
+    """Direct SQL port of the md5-hyperplane signature: plane coordinates
+    are deterministic constants (md5 of "plane|coord"), inlined as DOUBLE
+    list literals; the probe restricts the cosine scan to the query's
+    bucket — identical candidate set by construction."""
+    import hashlib
+
+    n_planes, dim = 8, 64
+
+    def plane(p: int) -> str:
+        coords = [
+            "1.0" if hashlib.md5(f"{p}|{c}".encode()).hexdigest()[0] >= "8" else "-1.0"
+            for c in range(dim)
+        ]
+        return "[" + ", ".join(coords) + "]"
+
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {plane(p)}) >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
+), q AS (SELECT embedding AS qe, bucket AS qb FROM sigs WHERE vec_id = 0)
+SELECT s.vec_id, round(
+  list_dot_product(CAST(s.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))
+  / (sqrt(list_sum(list_transform(s.embedding, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cosine
+FROM sigs s, q WHERE s.bucket = q.qb
+ORDER BY cosine DESC, s.vec_id LIMIT 10
+"""
+
+
 # ===========================================================================
-# KG pipeline (non-SQL-expressible → rows-only checks; the strong gate is
-# the pytest golden-triple suite)
+# KG pipeline — oracled by the independent pure-Python golden computation
+# (tests/oracle.py) rendered as a DuckDB VALUES table: the corpus is
+# deterministic (seed=42), so the expected triple/node/component sets are
+# computable without Spark and compared value-for-value by the driver.
 # ===========================================================================
+
+_KG_CORPUS_PARAMS = dict(n_hanzi=30, n_words=40, n_idioms=30, seed=42)
+
 
 def _kg_corpus(spark):
     from kgpipe.corpus import corpus_to_dataframes, generate_corpus
 
-    corpus = generate_corpus(n_hanzi=30, n_words=40, n_idioms=30, seed=42)
-    return corpus_to_dataframes(spark, corpus)
+    return corpus_to_dataframes(spark, generate_corpus(**_KG_CORPUS_PARAMS))
+
+
+def _golden():
+    """Load the independent pure-Python oracle (tests/oracle.py) by path —
+    the tests directory is not an installed package."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "oracle.py"
+    )
+    spec = importlib.util.spec_from_file_location("_kgpipe_golden_oracle", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from kgpipe.corpus import generate_corpus
+
+    return mod, generate_corpus(**_KG_CORPUS_PARAMS)
 
 
 @_q("kg_triples")
@@ -641,14 +730,34 @@ def kg_triples(spark, sf):
     return build_graph(spark, cdf, sdf).triples
 
 
+@_lazy_oracle("kg_triples")
+def _kg_triples_oracle() -> str:
+    mod, corpus = _golden()
+    rows = [
+        (_sq(s), _sq(p), _sq(o)) for s, p, o in sorted(mod.golden_triples(corpus))
+    ]
+    return _values_table(rows, ["subj", "pred", "obj"])
+
+
 @_q("kg_nodes")
 def kg_nodes(spark, sf):
     from kgpipe.pipeline import build_graph
 
     cdf, sdf = _kg_corpus(spark)
-    return build_graph(spark, cdf, sdf).nodes.select(
-        "node_id", "entity_type", "name", "crawled"
-    )
+    # node_id is xxhash64(entity_type, name) — a pure function of the two
+    # projected columns (uniqueness is pytest-asserted), so the name-level
+    # projection is the oracle-comparable surface
+    return build_graph(spark, cdf, sdf).nodes.select("entity_type", "name", "crawled")
+
+
+@_lazy_oracle("kg_nodes")
+def _kg_nodes_oracle() -> str:
+    mod, corpus = _golden()
+    rows = [
+        (_sq(et), _sq(n), "TRUE" if c else "FALSE")
+        for et, n, c in sorted(mod.golden_nodes(corpus))
+    ]
+    return _values_table(rows, ["entity_type", "name", "crawled"])
 
 
 @_q("kg_variant_components")
@@ -659,22 +768,89 @@ def kg_variant_components(spark, sf):
     cdf, sdf = _kg_corpus(spark)
     g = build_graph(spark, cdf, sdf)
     variant = g.edges.where(F.col("rel_type") == "variant-of")
-    return canonical_mapping(variant, g.nodes).select("node_id", "canonical_name")
+    mapping = canonical_mapping(variant, g.nodes)
+    # name-level projection (ids are hashes of the names; see kg_nodes)
+    members = g.nodes.where(F.col("entity_type") == "Hanzi").select("node_id", "name")
+    return mapping.join(members, "node_id").select("name", "canonical_name")
+
+
+@_lazy_oracle("kg_variant_components")
+def _kg_variant_components_oracle() -> str:
+    mod, corpus = _golden()
+    rows = [
+        (_sq(n), _sq(c)) for n, c in sorted(mod.golden_variant_members(corpus))
+    ]
+    return _values_table(rows, ["name", "canonical_name"])
 
 
 # ===========================================================================
-# multimodal plumbing (deterministic stub codecs → rows-only checks)
+# multimodal plumbing — the stub codecs are pure functions of the payload
+# bytes and ``synthetic_media`` is deterministic, so the expected output is
+# computable independently (hashlib, not the JVM) and compared exactly.
+# DuckDB's sha256() only accepts VARCHAR (not BLOB), so the hash columns are
+# rendered into the VALUES table; byte counts are re-derived SQL-side.
 # ===========================================================================
+
+_MM_N = 32
+
 
 @_q("multimodal_image_meta")
 def multimodal_image_meta(spark, sf):
     from kgpipe.ops.multimodal import image_metadata, synthetic_media
 
-    return image_metadata(synthetic_media(spark, 32))
+    return image_metadata(synthetic_media(spark, _MM_N))
+
+
+@_lazy_oracle("multimodal_image_meta")
+def _multimodal_image_meta_oracle() -> str:
+    import hashlib
+
+    rows = []
+    for i in range(_MM_N):
+        if i % 3 != 0:  # kind != image
+            continue
+        payload = hashlib.sha256(str(i).encode()).digest() * (4 + i % 5)
+        h = hashlib.sha256(payload).digest()
+        rows.append(
+            (
+                f"CAST({i} AS BIGINT)",
+                _sq(hashlib.sha256(payload).hexdigest()),
+                f"CAST(octet_length(unhex({_sq(payload.hex())})) AS BIGINT)",
+                f"CAST({64 + h[0] % 64} AS INT)",
+                f"CAST({64 + h[1] % 64} AS INT)",
+                _sq(["png", "jpeg", "webp"][h[2] % 3]),
+            )
+        )
+    return _values_table(
+        rows, ["media_id", "sha256", "n_bytes", "width", "height", "format"]
+    )
 
 
 @_q("multimodal_frame_sample")
 def multimodal_frame_sample(spark, sf):
     from kgpipe.ops.multimodal import sample_video_frames, synthetic_media
 
-    return sample_video_frames(synthetic_media(spark, 32))
+    return sample_video_frames(synthetic_media(spark, _MM_N))
+
+
+@_lazy_oracle("multimodal_frame_sample")
+def _multimodal_frame_sample_oracle() -> str:
+    import hashlib
+
+    every_n = 10
+    rows = []
+    for i in range(_MM_N):
+        if i % 3 != 2:  # kind != video
+            continue
+        payload = hashlib.sha256(str(i).encode()).digest() * (4 + i % 5)
+        n_frames = max(len(payload) // every_n, 1)
+        for idx in range(min(n_frames, 8)):
+            chunk = payload[idx * every_n : (idx + 1) * every_n]
+            rows.append(
+                (
+                    f"CAST({i} AS BIGINT)",
+                    f"CAST({idx} AS INT)",
+                    _sq(hashlib.sha256(chunk).hexdigest()),
+                )
+            )
+    return _values_table(rows, ["media_id", "frame_idx", "frame_sha256"])

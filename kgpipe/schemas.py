@@ -249,7 +249,7 @@ HANZI_PARSED = StructType(
 NODES_SCHEMA = StructType(
     [
         StructField("node_id", LongType(), False),  # xxhash64(entity_type, name)
-        _s("entity_type"),  # Idiom | Word | Hanzi | Pinyin | Radical
+        _s("entity_type"),  # Idiom | Word | Hanzi | Pinyin | Radical | Translation
         _s("name"),
         _s("url"),
         StructField("properties", StringType(), True),  # JSON at export boundary only

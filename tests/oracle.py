@@ -38,10 +38,11 @@ def _und(a: str, pred: str, b: str) -> tuple:
     return (min(a, b), pred, max(a, b))
 
 
-def golden_triples(corpus: Corpus) -> set[tuple]:
+def _parse_and_link(corpus: Corpus) -> tuple[list[dict], list[dict], set[str]]:
+    """Shared serial parse + seed-linkage stage: returns (linked term
+    records deduped by (kind, name), valid hanzi parses, hanzi chars)."""
     pages = {r["path"]: r["content"] for r in corpus.rows}
 
-    # parse every page serially
     parsed_terms: dict[str, dict] = {}  # normalized title -> (kind, data)
     hanzi_parsed: list[dict] = []
     for path, content in pages.items():
@@ -62,12 +63,21 @@ def golden_triples(corpus: Corpus) -> set[tuple]:
 
     hanzi_chars = {h["basic_info"]["data"]["character"] for h in hanzi_parsed}
 
-    # seed linkage
+    # seed linkage, deduped (replays / whitespace-variant seeds)
     linked: list[dict] = []
+    seen_terms: set[tuple] = set()
     for seed in corpus.seeds:
         rec = parsed_terms.get(_norm_title(seed["name"]))
         if rec is not None and rec["kind"] == seed["entity_type"]:
-            linked.append(rec)
+            key = (rec["kind"], rec["name"])
+            if key not in seen_terms:
+                seen_terms.add(key)
+                linked.append(rec)
+    return linked, hanzi_parsed, hanzi_chars
+
+
+def golden_triples(corpus: Corpus) -> set[tuple]:
+    linked, hanzi_parsed, hanzi_chars = _parse_and_link(corpus)
 
     # typed triples: (subj, subj_is_hanzi, pred, obj, obj_is_hanzi) — the
     # alias canonicalization applies ONLY to Hanzi-typed endpoints
@@ -75,12 +85,7 @@ def golden_triples(corpus: Corpus) -> set[tuple]:
     typed: set[tuple] = set()
 
     # term-derived triples
-    seen_terms = set()
     for rec in linked:
-        key = (rec["kind"], rec["name"])
-        if key in seen_terms:  # replays / whitespace-variant seeds dedup
-            continue
-        seen_terms.add(key)
         name, data = rec["name"], rec["data"]
         for rel, field in (("synonym", "synonyms"), ("antonym", "antonyms")):
             for t in data.get(field) or []:
@@ -157,6 +162,94 @@ def golden_triples(corpus: Corpus) -> set[tuple]:
                 continue
             out.add((cs, p, co))
     return out
+
+
+def golden_nodes(corpus: Corpus) -> set[tuple]:
+    """Independent node-table oracle: (entity_type, name, crawled).
+
+    Mirrors the reference's upsert semantics (crawled record beats a
+    mention-minted stub — chengyu_mysql.py:162-221) at name granularity:
+    crawled = True wins when both a page and a mention produce the node.
+    Stub population = every edge endpoint that is not itself a crawled
+    page: synonym/antonym mentions, variant characters, radicals, pinyin
+    and translation literals.
+    """
+    linked, hanzi_parsed, _ = _parse_and_link(corpus)
+
+    crawled: set[tuple[str, str]] = set()
+    stubs: set[tuple[str, str]] = set()
+
+    for rec in linked:
+        name, data, kind = rec["name"], rec["data"], rec["kind"]
+        crawled.add((kind, name))
+        for field in ("synonyms", "antonyms"):
+            for t in data.get(field) or []:
+                tn = t.strip() if t else None
+                if tn:
+                    stubs.add((kind, tn))
+        py = data.get("pinyin")
+        if py:
+            stubs.add(("Pinyin", py))
+        if kind == "Idiom":
+            tr = data.get("translation")
+            if tr:
+                for item in tr.split("; "):
+                    if item:
+                        stubs.add(("Translation", item))
+
+    for h in hanzi_parsed:
+        basic = h["basic_info"]["data"]
+        char = basic["character"]
+        crawled.add(("Hanzi", char))
+        bd = basic.get("bushou_detail")
+        if bd and bd.get("text"):
+            radical = bd["text"][:-1] if bd["text"].endswith("部") else bd["text"]
+            if radical:
+                stubs.add(("Radical", radical))
+        for v in basic.get("variant_characters") or []:
+            if v["character"] and v["character"] != char:
+                stubs.add(("Hanzi", v["character"]))
+        for p in basic.get("pinyin_info") or []:
+            if p["pinyin"]:
+                stubs.add(("Pinyin", p["pinyin"]))
+        for t in (h["fanyi_info"].get("data", {}) or {}).get("translations") or []:
+            stubs.add(("Translation", f"{t['language']}: {t['translation']}"))
+
+    return {(et, n, True) for et, n in crawled} | {
+        (et, n, False) for et, n in stubs if (et, n) not in crawled
+    }
+
+
+def golden_variant_members(corpus: Corpus) -> set[tuple]:
+    """Independent alias-canonicalization oracle: (name, canonical_name)
+    for every character that participates in a variant-of cluster;
+    canonical representative = lexicographically smallest name."""
+    _, hanzi_parsed, _ = _parse_and_link(corpus)
+
+    variant_pairs: set[tuple[str, str]] = set()
+    for h in hanzi_parsed:
+        basic = h["basic_info"]["data"]
+        char = basic["character"]
+        for v in basic.get("variant_characters") or []:
+            if v["character"] and v["character"] != char:
+                variant_pairs.add((min(char, v["character"]), max(char, v["character"])))
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in variant_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    return {(name, find(name)) for name in parent}
 
 
 def precision_recall(ours: set[tuple], golden: set[tuple]) -> tuple[float, float]:

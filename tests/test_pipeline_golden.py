@@ -62,9 +62,33 @@ def test_node_id_uniqueness_and_types(graph):
     nodes = graph.nodes
     assert nodes.count() == nodes.select("node_id").distinct().count()
     types = {r.entity_type for r in nodes.select("entity_type").distinct().collect()}
-    assert types <= {"Idiom", "Word", "Hanzi"}
+    assert types <= {"Idiom", "Word", "Hanzi", "Pinyin", "Radical", "Translation"}
     # stub nodes exist only where a mention was never crawled
     assert nodes.where(~F.col("crawled")).count() >= 0
+
+
+def test_no_dangling_edge_endpoints(graph):
+    """Every edge endpoint id (raw and canonical) must exist in nodes —
+    literal-valued endpoints (Pinyin/Radical/Translation) get stub rows."""
+    node_ids = graph.nodes.select("node_id")
+    for edges in (graph.edges, graph.edges_canonical):
+        endpoints = edges.select(F.col("src_id").alias("node_id")).unionByName(
+            edges.select(F.col("dst_id").alias("node_id"))
+        )
+        assert endpoints.join(node_ids, "node_id", "left_anti").count() == 0
+
+
+def test_nodes_match_golden(graph, small_corpus):
+    from tests.oracle import golden_nodes
+
+    ours = {
+        (r.entity_type, r.name, r.crawled)
+        for r in graph.nodes.select("entity_type", "name", "crawled").collect()
+    }
+    golden = golden_nodes(small_corpus)
+    assert ours == golden, (
+        f"only-ours={sorted(ours - golden)[:5]} only-golden={sorted(golden - ours)[:5]}"
+    )
 
 
 def test_predicate_vocabulary(graph):
