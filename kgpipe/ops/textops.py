@@ -19,6 +19,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Fan out a narrow input that has fewer splits than the cluster has
+    cores (e.g. one small unsplittable parquet file / one row group) so
+    per-row compute-heavy operators are not serialized on one task.
+
+    The repartition moves only the RAW input rows — far cheaper than the
+    shuffles it replaces downstream. At warehouse scale input splits
+    vastly exceed cores, so this is a no-op (no exchange added).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -70,6 +86,61 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_banded(
+    docs: DataFrame,
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Row-local banded MinHash: (doc_id, band, bh) with ZERO shuffle.
+
+    The signature is a pure per-row function, so it is computed in a
+    single ``aggregate`` expression — one pass over the document's
+    shingles maintaining the running per-seed minimum, with the banding
+    done in the ``finish`` lambda of the same expression (nothing is
+    evaluated twice, nothing leaves the row). This replaces the
+    explode→distinct→groupBy formulation (two wide stages over the
+    |text|-expanded shingle set) for signature computation; the first and
+    only shuffle of the LSH pipeline is now the band-bucket self-join.
+
+    Hash identity with the aggregation path: hash_j(s) = md5('j|' || s),
+    band hash = md5(mh_{2b} || '|' || mh_{2b+1}) — so candidate output is
+    byte-identical and the DuckDB oracle is unchanged.
+    """
+    docs = ensure_parallelism(docs)
+    rows_per_band = num_hashes // bands
+    shingle_expr = (
+        f"transform(sequence(1, greatest(char_length({text_col}) - {k - 1}, 1)),"
+        f" i -> substring({text_col}, i, {k}))"
+    )
+    # running minimum per seed: least() skips NULLs, so the NULL-seeded
+    # accumulator adopts the first hash and min() thereafter
+    merge = (
+        "(acc, s) -> zip_with(acc, "
+        f"transform(sequence(0, {num_hashes - 1}), j -> md5(concat(cast(j AS STRING), '|', s))), "
+        "(a, h) -> least(a, h))"
+    )
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bh', md5(concat_ws('|', {members})))".format(
+            b=b,
+            members=", ".join(
+                f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    banded = F.expr(
+        f"aggregate({shingle_expr}, "
+        f"array_repeat(CAST(NULL AS STRING), {num_hashes}), "
+        f"{merge}, "
+        f"sig -> array({band_structs}))"
+    )
+    return docs.select(
+        "doc_id", F.explode(banded).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bh")
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
     """Band the signature (bands × rows_per_band = num_hashes), bucket-join
     within bands: candidate pairs share ≥1 full band.
@@ -87,6 +158,15 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4, rows_per_band: in
     banded = signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bh")
+    return band_bucket_pairs(banded)
+
+
+def band_bucket_pairs(banded: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) → distinct candidate pairs sharing ≥1 full band.
+
+    The self-join is per (band, band_hash) bucket — tiny groups, so the
+    quadratic blowup is bounded; the shuffle key (band_hash) is uniform.
+    """
     left = banded.select(F.col("band"), F.col("bh"), F.col("doc_id").alias("doc_a"))
     right = banded.select(F.col("band"), F.col("bh"), F.col("doc_id").alias("doc_b"))
     return (
@@ -100,10 +180,9 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4, rows_per_band: in
 def dedup_minhash_lsh(
     docs: DataFrame, k: int = 5, num_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
-    """Full MinHash+LSH near-dup candidate table."""
-    sh = shingles(docs, k=k)
-    sig = minhash_signatures(sh, num_hashes=num_hashes)
-    return lsh_candidate_pairs(sig, bands=bands, rows_per_band=num_hashes // bands)
+    """Full MinHash+LSH near-dup candidate table (row-local signatures —
+    no shuffle before the band-bucket join)."""
+    return band_bucket_pairs(minhash_banded(docs, k=k, num_hashes=num_hashes, bands=bands))
 
 
 # ---------------------------------------------------------------------------
@@ -148,32 +227,49 @@ SIMHASH_BITS = 32
 
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
-    """SimHash over whitespace tokens.
+    """SimHash over whitespace tokens — fully row-local, ZERO shuffle.
 
     Token hash = first 8 hex chars of md5 (32 bits, engine-portable);
     bit_i contributes +1/−1 by token; simhash bit_i = majority sign.
-    All arithmetic on integers → bit-exact across engines. One explode +
-    one aggregation; the per-bit sums are a fixed-width column list, so
-    the whole thing stays in one codegen stage.
+    All arithmetic on integers → bit-exact across engines.
+
+    One ``aggregate`` expression per row: a single pass over the token
+    array maintaining the per-bit ±1 sums, with the bit-majority
+    reconstruction in the ``finish`` lambda. Replaces the former
+    explode + groupBy(doc_id) (a full-width shuffle of every token hash);
+    documents with no tokens are excluded, matching the aggregation
+    semantics (and the DuckDB oracle, which stays unchanged).
     """
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok"),
-    ).where(F.length("tok") > 0)
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-    toks = toks.select("doc_id", h.alias("h"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    agg = toks.groupBy("doc_id").agg(*bit_sums)
-    sim = None
-    for i in range(bits):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
-    return agg.select("doc_id", sim.alias("simhash"))
+    # token-less docs are excluded (aggregation semantics / oracle parity)
+    # by a CHEAP pre-filter — filtering on the computed simhash instead
+    # would be pushed below the fan-out exchange by Catalyst and evaluate
+    # the whole aggregate twice (once per side of the shuffle). A trimmed
+    # non-empty string always yields ≥1 non-empty token, so the predicates
+    # are equivalent.
+    docs = ensure_parallelism(
+        docs.where(F.trim(F.col(text_col)) != "")
+    )
+    hashes_expr = (
+        f"transform(filter(split(trim({text_col}), '\\\\s+'), t -> char_length(t) > 0), "
+        "t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS LONG))"
+    )
+    bit_deltas = (
+        "transform(sequence(0, {n}), i -> "
+        "CASE WHEN (h >> i) & 1 = 1 THEN 1L ELSE -1L END)".format(n=bits - 1)
+    )
+    merge = f"(acc, h) -> zip_with(acc, {bit_deltas}, (a, d) -> a + d)"
+    powers = "array(" + ", ".join(f"{2 ** i}L" for i in range(bits)) + ")"
+    finish = (
+        f"sums -> aggregate(zip_with(sums, {powers}, "
+        "(s, p) -> CASE WHEN s > 0 THEN p ELSE 0L END), 0L, (a, v) -> a + v)"
+    )
+    sim = F.expr(
+        f"aggregate({hashes_expr}, "
+        f"array_repeat(0L, {bits}), "
+        f"{merge}, "
+        f"{finish})"
+    )
+    return docs.select("doc_id", sim.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -205,29 +301,50 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword / mean-token-length features and a
-    composite score — integer-ratio arithmetic rounded at 4 dp."""
+    composite score — integer-ratio arithmetic rounded at 4 dp.
+
+    The token split and stopword scan are projected ONCE in a staging
+    select and the features derive from the scalar counts; Catalyst's
+    CollapseProject keeps the staging projection because a non-trivial
+    alias referenced more than once is not inlined — so the text is
+    tokenized exactly once per row (previously up to 4 sub-expressions
+    re-split the text).
+    """
     text = F.col(text_col)
-    n_chars = F.char_length(text)
-    n_punct = n_chars - F.char_length(F.regexp_replace(text, "[\\.,;:!?'\"()]", ""))
-    toks = F.split(F.trim(text), "\\s+")
-    n_toks = F.size(toks)
     stop_arr = F.split(F.lit(_EN_STOPWORDS), ",")
-    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
-    mean_tok = F.round(
-        (F.char_length(F.regexp_replace(text, "\\s+", "")) / F.greatest(n_toks, F.lit(1))), 4
+    tokenized = docs.select(
+        "doc_id",
+        F.char_length(text).alias("_n_chars"),
+        (
+            F.char_length(text)
+            - F.char_length(F.regexp_replace(text, "[\\.,;:!?'\"()]", ""))
+        ).alias("_n_punct"),
+        F.split(F.trim(text), "\\s+").alias("_toks"),
+        F.char_length(F.regexp_replace(text, "\\s+", "")).alias("_solid_chars"),
     )
-    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
-    stop_ratio = F.round(stop_hits / F.greatest(n_toks, F.lit(1)), 4)
+    staged = tokenized.select(
+        "doc_id",
+        "_n_chars",
+        "_n_punct",
+        F.size("_toks").alias("_n_toks"),
+        F.size(
+            F.filter("_toks", lambda t: F.array_contains(stop_arr, F.lower(t)))
+        ).alias("_stop_hits"),
+        "_solid_chars",
+    )
+    punct_ratio = F.round(F.col("_n_punct") / F.greatest("_n_chars", F.lit(1)), 4)
+    stop_ratio = F.round(F.col("_stop_hits") / F.greatest("_n_toks", F.lit(1)), 4)
+    mean_tok = F.round(F.col("_solid_chars") / F.greatest("_n_toks", F.lit(1)), 4)
     score = F.round(
-        F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.4
+        F.least(F.col("_n_toks") / F.lit(100.0), F.lit(1.0)) * 0.4
         + stop_ratio * 0.4
         + (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))) * 0.2,
         4,
     )
-    return docs.select(
+    return staged.select(
         "doc_id",
-        n_chars.alias("n_chars_measured"),
-        n_toks.alias("n_tokens"),
+        F.col("_n_chars").alias("n_chars_measured"),
+        F.col("_n_toks").alias("n_tokens"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         mean_tok.alias("mean_token_len"),

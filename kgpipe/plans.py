@@ -59,6 +59,18 @@ def assert_arrow_only_python(df: DataFrame) -> None:
     )
 
 
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle boundaries in the plan — the scale currency.
+    Counts physical Exchange nodes (broadcast exchanges excluded: they
+    move only the small side)."""
+    import re
+
+    plan = physical_plan(df)
+    # formatted explain lists each node twice (tree + detail); count only
+    # the detail headers "(N) Exchange"
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.MULTILINE))
+
+
 def count_codegen_stages(df: DataFrame) -> int:
     # with AQE on, codegen ids only appear in the formatted explain of the
     # *final* plan — force execution first, then parse the codegen ids

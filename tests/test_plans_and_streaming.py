@@ -58,6 +58,24 @@ def test_linkage_join_is_broadcast(spark, small_corpus):
     plans.assert_no_shuffle_join(linked)
 
 
+def test_signature_computation_is_shuffle_free(spark):
+    """MinHash and SimHash signatures are pure per-row functions — the
+    plan must contain ZERO shuffle boundaries before the band join
+    (round-2 rewrite: explode→groupBy replaced by aggregate-with-finish)."""
+    from kgpipe.ops import textops
+
+    # pre-fan the input to cluster parallelism so ensure_parallelism
+    # no-ops and the counted exchanges are the operator's own
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    base = plans.count_exchanges(docs)  # the test's own repartition
+    assert plans.count_exchanges(textops.minhash_banded(docs)) == base
+    assert plans.count_exchanges(textops.simhash(docs)) == base
+    # full LSH adds only the band-bucket self-join + the distinct shuffle
+    assert plans.count_exchanges(textops.dedup_minhash_lsh(docs)) <= base + 3
+
+
 def test_codegen_covers_native_ops(spark):
     df = QUERIES["tpch_q1_pricing"](spark, SF_DIR)
     assert plans.count_codegen_stages(df) >= 1
