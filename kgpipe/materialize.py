@@ -2,23 +2,36 @@
 
 The sandbox has no Iceberg runtime jar, so this module provides the same
 *transactional contract* the pipeline needs — atomic snapshot commits,
-readers never see partial writes, idempotent upsert-merge — using a
-pointer-swap protocol on the local filesystem:
+readers never see partial writes, idempotent upsert-merge, O(delta)
+commit cost — using a file-manifest + pointer-swap protocol on the local
+filesystem (exactly Iceberg's design, minus the Avro encoding):
 
-    <table>/snapshots/v<N>/part-*.parquet     immutable snapshot data
-    <table>/_CURRENT                          pointer file → "v<N>"
+    <table>/data/c*/…/part-*.parquet      immutable data files
+    <table>/snapshots/v<N>.json           manifest: the file list of
+                                          snapshot N (+ bucket tags)
+    <table>/_CURRENT                      pointer file → "v<N>"
 
-A commit writes the new snapshot directory completely, then atomically
+A commit writes only the NEW data files, then writes an immutable
+manifest listing old surviving files + new files, then atomically
 replaces ``_CURRENT`` (os.replace is atomic on POSIX). Readers resolve
-the pointer once and only ever list an immutable directory — the same
-reader isolation Iceberg gets from its metadata pointer.
+the pointer once and read an immutable file list — Iceberg's reader
+isolation. A crash before the pointer swap leaves unreferenced data
+files (harmless orphans), never a partial table.
+
+Commit cost is O(delta), not O(table):
+
+  * ``append``        — writes the new rows, reuses every old file;
+  * ``insert_ignore`` — dedups the incoming batch, anti-joins it against
+    the CURRENT KEYS of the colliding hash-buckets only (column-pruned
+    scan), writes just the surviving delta; existing files untouched;
+  * ``merge_best`` / ``merge_upsert`` — hash-bucketed tables rewrite
+    only the buckets the incoming batch collides with; files of
+    untouched buckets carry over by reference.
 
 On a real deployment every call here maps 1:1 onto an Iceberg operation:
-``merge_upsert`` → ``MERGE INTO``, ``append`` → ``INSERT INTO``/append
-snapshot, ``read`` → catalog table read, and the upsert window below is
-exactly the MERGE matched-clause semantics. Snapshots are copy-on-write
-whole-table here (fine at sandbox scale); Iceberg's manifests make the
-same commit O(delta) at warehouse scale — the calling code is unchanged.
+``merge_best/merge_upsert`` → ``MERGE INTO`` (with the same
+bucket-partition pruning), ``append`` → append snapshot, ``read`` →
+catalog table read.
 
 Upsert semantics mirror the reference sinks: ``INSERT ... ON DUPLICATE
 KEY UPDATE`` (/root/reference/chengyu/chengyu_mysql.py:162-180) and
@@ -28,7 +41,9 @@ priority ordering instead of DB arrival order.
 
 from __future__ import annotations
 
+import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -36,10 +51,46 @@ from pyspark.sql.types import StructType
 
 
 class SnapshotTable:
-    def __init__(self, path: str, schema: StructType):
+    """One snapshot-committed table.
+
+    ``bucket_keys`` enables hash-bucketed data layout (``n_buckets``
+    buckets on xxhash64 of the keys): merges rewrite only colliding
+    buckets and key-membership scans prune to colliding buckets. Tables
+    written only via ``append`` (logs/metrics) skip bucketing.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        bucket_keys: list[str] | None = None,
+        n_buckets: int = 16,
+    ):
         self.path = path
         self.schema = schema
+        self.bucket_keys = bucket_keys
+        self.n_buckets = n_buckets
         os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        self._check_meta()
+
+    # -- table meta (bucket layout must be consistent across writers) -----
+    def _check_meta(self) -> None:
+        meta_path = os.path.join(self.path, "_META.json")
+        meta = {"bucket_keys": self.bucket_keys, "n_buckets": self.n_buckets}
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                existing = json.load(fh)
+            if existing != meta:
+                raise ValueError(
+                    f"table {self.path} was created with layout {existing}, "
+                    f"reopened with {meta} — bucket layout is immutable"
+                )
+        else:
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(meta, fh)
+            os.replace(tmp, meta_path)
 
     # -- snapshot protocol ------------------------------------------------
     @property
@@ -53,47 +104,127 @@ class SnapshotTable:
         except (FileNotFoundError, ValueError):
             return None
 
-    def _snapshot_dir(self, version: int) -> str:
-        return os.path.join(self.path, "snapshots", f"v{version}")
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, "snapshots", f"v{version}.json")
 
-    def _commit(self, df: DataFrame) -> int:
+    def manifest(self, version: int | None = None) -> list[dict]:
+        """File list of a snapshot: [{"path": ..., "kb": int|None}, ...]."""
+        version = version if version is not None else self.current_version()
+        if version is None:
+            return []
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)["files"]
+
+    def _commit(self, entries: list[dict]) -> int:
         new_version = (self.current_version() or 0) + 1
-        target = self._snapshot_dir(new_version)
-        df.write.mode("overwrite").parquet(target)
-        tmp = self._pointer + ".tmp"
+        mpath = self._manifest_path(new_version)
+        tmp = mpath + ".tmp"
         with open(tmp, "w") as fh:
+            json.dump({"files": entries}, fh)
+        os.replace(tmp, mpath)
+        ptmp = self._pointer + ".tmp"
+        with open(ptmp, "w") as fh:
             fh.write(f"v{new_version}")
-        os.replace(tmp, self._pointer)  # atomic commit point
+        os.replace(ptmp, self._pointer)  # atomic commit point
         return new_version
 
-    # -- operations ---------------------------------------------------------
-    def read(self, spark: SparkSession) -> DataFrame:
-        version = self.current_version()
-        if version is None:
+    # -- data files ---------------------------------------------------------
+    def _bucket_col(self):
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in self.bucket_keys]), F.lit(self.n_buckets)
+        ).cast("int")
+
+    def _write_data(self, df: DataFrame) -> list[dict]:
+        """Write a new immutable data directory; return its file entries.
+        Bucketed tables partition by the key hash so future merges can
+        prune to colliding buckets."""
+        target = os.path.join(self.path, "data", f"c{uuid.uuid4().hex[:12]}")
+        if self.bucket_keys:
+            (
+                df.withColumn("kb", self._bucket_col())
+                .write.partitionBy("kb")
+                .parquet(target)
+            )
+        else:
+            df.write.parquet(target)
+        entries = []
+        for root, _dirs, files in os.walk(target):
+            for name in sorted(files):
+                if not name.endswith(".parquet") or name.startswith((".", "_")):
+                    continue
+                kb = None
+                base = os.path.basename(root)
+                if base.startswith("kb="):
+                    kb = int(base[3:])
+                entries.append({"path": os.path.join(root, name), "kb": kb})
+        return entries
+
+    def _read_files(self, spark: SparkSession, entries: list[dict]) -> DataFrame:
+        if not entries:
             return spark.createDataFrame([], self.schema)
-        return spark.read.schema(self.schema).parquet(self._snapshot_dir(version))
+        return spark.read.schema(self.schema).parquet(*[e["path"] for e in entries])
+
+    # -- operations ---------------------------------------------------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Current table (or any retained snapshot — reader isolation)."""
+        return self._read_files(spark, self.manifest(version))
 
     def append(self, df: DataFrame) -> int:
-        spark = df.sparkSession
-        return self._commit(self.read(spark).unionByName(df))
+        return self._commit(self.manifest() + self._write_data(df))
 
-    def merge_upsert(self, df: DataFrame, keys: list[str], order_by: list) -> int:
-        """MERGE INTO: new rows win over existing rows on key collision,
-        ties broken by the deterministic ``order_by`` columns. Replay-safe:
-        merging the same df twice is a no-op."""
+    def _affected(self, incoming: DataFrame) -> tuple[list[dict], list[dict]]:
+        """Split current files into (colliding-bucket, untouched-bucket)
+        by the incoming batch's bucket membership (one tiny collect of at
+        most n_buckets values)."""
+        current = self.manifest()
+        if not self.bucket_keys:
+            return current, []
+        hit = {
+            r.kb
+            for r in incoming.select(self._bucket_col().alias("kb")).distinct().collect()
+        }
+        touched = [e for e in current if e["kb"] in hit]
+        untouched = [e for e in current if e["kb"] not in hit]
+        return touched, untouched
+
+    def insert_ignore(self, df: DataFrame, keys: list[str], order_by: list) -> int:
+        """INSERT IGNORE, O(delta): existing rows win, so existing FILES
+        are untouched; the incoming batch is deduped within itself
+        (deterministic ``order_by`` winner), anti-joined against the
+        current keys of its colliding buckets only (column-pruned scan),
+        and the surviving delta appended as new files."""
         spark = df.sparkSession
-        current = self.read(spark).withColumn("_gen", F.lit(0))
-        incoming = df.withColumn("_gen", F.lit(1))
         w = Window.partitionBy(*keys).orderBy(
-            F.col("_gen").desc(), *[F.col(c).asc_nulls_last() for c in order_by]
+            *[F.col(c).asc_nulls_last() for c in order_by]
         )
+        incoming = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        touched, untouched = self._affected(incoming)
+        current_keys = self._read_files(spark, touched).select(*keys)
+        delta = incoming.join(current_keys, keys, "left_anti")
+        return self._commit(touched + untouched + self._write_data(delta))
+
+    def _merge_rewrite(
+        self, df: DataFrame, keys: list[str], order: list
+    ) -> int:
+        """Shared partitioned-rewrite merge: union incoming with the rows
+        of colliding buckets only, elect one winner per key by ``order``,
+        rewrite those buckets; untouched buckets carry over by reference."""
+        spark = df.sparkSession
+        touched, untouched = self._affected(df)
+        current = self._read_files(spark, touched).withColumn("_gen", F.lit(0))
+        incoming = df.withColumn("_gen", F.lit(1))
+        w = Window.partitionBy(*keys).orderBy(*order)
         merged = (
             current.unionByName(incoming)
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn", "_gen")
         )
-        return self._commit(merged)
+        return self._commit(untouched + self._write_data(merged))
 
     def merge_best(self, df: DataFrame, keys: list[str], priority: list) -> int:
         """Order-independent merge: the winner per key is decided by the
@@ -102,52 +233,53 @@ class SnapshotTable:
         nodes, where a crawled record must beat a mention-minted stub no
         matter which bucket commits first (INSERT IGNORE + ON DUP KEY
         UPDATE combined semantics, chengyu_mysql.py:162-221)."""
-        spark = df.sparkSession
-        w = Window.partitionBy(*keys).orderBy(*priority)
-        merged = (
-            self.read(spark)
-            .unionByName(df)
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        return self._commit(merged)
+        return self._merge_rewrite(df, keys, list(priority))
 
-    def insert_ignore(self, df: DataFrame, keys: list[str], order_by: list) -> int:
-        """INSERT IGNORE: existing rows win; among new duplicates the
-        deterministic order elects the survivor (first-writer-wins
-        formalization, SURVEY.md §2.5)."""
-        spark = df.sparkSession
-        current = self.read(spark).withColumn("_gen", F.lit(0))
-        incoming = df.withColumn("_gen", F.lit(1))
-        w = Window.partitionBy(*keys).orderBy(
-            F.col("_gen").asc(), *[F.col(c).asc_nulls_last() for c in order_by]
-        )
-        merged = (
-            current.unionByName(incoming)
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn", "_gen")
-        )
-        return self._commit(merged)
+    def merge_upsert(self, df: DataFrame, keys: list[str], order_by: list) -> int:
+        """MERGE INTO: new rows win over existing rows on key collision,
+        ties broken by the deterministic ``order_by`` columns. Replay-safe:
+        merging the same df twice is a no-op."""
+        order = [F.col("_gen").desc()] + [F.col(c).asc_nulls_last() for c in order_by]
+        return self._merge_rewrite(df, keys, order)
 
     def overwrite(self, df: DataFrame) -> int:
-        return self._commit(df)
+        return self._commit(self._write_data(df))
 
     def truncate(self, spark: SparkSession) -> int:
         """S17 admin operation (clear_crawled_data.py:34-83)."""
-        return self._commit(spark.createDataFrame([], self.schema))
+        return self._commit([])
+
+    # -- introspection (tests / ops) ----------------------------------------
+    def commit_delta_bytes(self, version: int) -> int:
+        """Bytes of NEW data files introduced by snapshot ``version`` —
+        the physical write cost of that commit."""
+        before = {e["path"] for e in self.manifest(version - 1)} if version > 1 else set()
+        return sum(
+            os.path.getsize(e["path"])
+            for e in self.manifest(version)
+            if e["path"] not in before
+        )
 
 
 class Warehouse:
-    """The five output tables of the rebuilt engine (SURVEY.md §1.1)."""
+    """The five output tables of the rebuilt engine (SURVEY.md §1.1).
+
+    nodes and edges are hash-bucketed on their merge keys so the
+    incremental runner's per-unit commits rewrite at most the colliding
+    buckets (nodes) or only append the new-key delta (edges)."""
 
     def __init__(self, root: str):
         from kgpipe import schemas
 
         self.root = root
-        self.nodes = SnapshotTable(os.path.join(root, "nodes"), schemas.NODES_SCHEMA)
-        self.edges = SnapshotTable(os.path.join(root, "edges"), schemas.EDGES_SCHEMA)
+        self.nodes = SnapshotTable(
+            os.path.join(root, "nodes"), schemas.NODES_SCHEMA,
+            bucket_keys=["node_id"], n_buckets=16,
+        )
+        self.edges = SnapshotTable(
+            os.path.join(root, "edges"), schemas.EDGES_SCHEMA,
+            bucket_keys=["src_id", "dst_id", "rel_type"], n_buckets=16,
+        )
         self.run_metrics = SnapshotTable(
             os.path.join(root, "run_metrics"), schemas.RUN_METRICS_SCHEMA
         )

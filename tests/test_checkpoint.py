@@ -79,9 +79,78 @@ def test_snapshot_isolation_and_truncate(spark, tmp_path):
     t.append(df.withColumn("node_id", F.lit(2)))
     assert t.read(spark).count() == 2
     # old snapshot still readable (reader isolation)
-    assert spark.read.parquet(t._snapshot_dir(1)).count() == 1
+    assert t.read(spark, version=1).count() == 1
     t.truncate(spark)
     assert t.read(spark).count() == 0
+
+
+def test_insert_ignore_commits_are_o_delta(spark, tmp_path):
+    """The scale contract for the edges sink: bytes physically written per
+    commit must track the DELTA size, not the table size (manifest reuse
+    of existing files — an O(table) copy-on-write would grow linearly)."""
+    from kgpipe.schemas import EDGES_SCHEMA
+
+    t = SnapshotTable(
+        str(tmp_path / "edges"), EDGES_SCHEMA,
+        bucket_keys=["src_id", "dst_id", "rel_type"], n_buckets=8,
+    )
+    batch_rows = 500
+    deltas = []
+    for i in range(5):
+        rows = [
+            (i * batch_rows + j, j, "synonym", f"s{i}-{j}", f"d{j}", None, "r")
+            for j in range(batch_rows)
+        ]
+        v = t.insert_ignore(
+            spark.createDataFrame(rows, EDGES_SCHEMA),
+            keys=["src_id", "dst_id", "rel_type"],
+            order_by=["src_name"],
+        )
+        deltas.append(t.commit_delta_bytes(v))
+    assert t.read(spark).count() == 5 * batch_rows
+    # equal-size disjoint batches → commit write volume must stay flat
+    # (2x headroom for parquet metadata variance), not grow ~5x
+    assert max(deltas) <= 2 * min(deltas), deltas
+    # replaying a batch adds (near-)zero data files
+    v = t.insert_ignore(
+        spark.createDataFrame(
+            [(0 * batch_rows + j, j, "synonym", f"s0-{j}", f"d{j}", None, "r")
+             for j in range(batch_rows)],
+            EDGES_SCHEMA,
+        ),
+        keys=["src_id", "dst_id", "rel_type"],
+        order_by=["src_name"],
+    )
+    assert t.read(spark).count() == 5 * batch_rows
+    assert t.commit_delta_bytes(v) < min(deltas) / 2
+
+
+def test_merge_best_rewrites_only_colliding_buckets(spark, tmp_path):
+    """nodes-sink scale contract: a merge touching few keys must carry the
+    untouched buckets over by reference, not rewrite the table."""
+    from kgpipe.schemas import NODES_SCHEMA
+
+    t = SnapshotTable(
+        str(tmp_path / "nodes"), NODES_SCHEMA, bucket_keys=["node_id"], n_buckets=8
+    )
+    base = [(j, "Hanzi", f"n{j}", None, None, False, "r", None) for j in range(2000)]
+    t.merge_best(
+        spark.createDataFrame(base, NODES_SCHEMA),
+        keys=["node_id"],
+        priority=[F.col("crawled").desc(), F.col("url").asc_nulls_last()],
+    )
+    full_write = t.commit_delta_bytes(1)
+    # upsert ONE key → at most 1/8 of the buckets rewritten
+    v = t.merge_best(
+        spark.createDataFrame(
+            [(7, "Hanzi", "n7", "zidian/7", "{}", True, "r", None)], NODES_SCHEMA
+        ),
+        keys=["node_id"],
+        priority=[F.col("crawled").desc(), F.col("url").asc_nulls_last()],
+    )
+    assert t.commit_delta_bytes(v) < full_write / 2
+    assert t.read(spark).count() == 2000
+    assert t.read(spark).where("node_id = 7").first().crawled is True
 
 
 def test_merge_best_order_independent(spark, tmp_path):
