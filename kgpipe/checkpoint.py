@@ -38,13 +38,81 @@ def bucket_of(col, n_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 
-def pending_units(wh: Warehouse, spark: SparkSession, n_buckets: int) -> list[int]:
-    """Resume watermark (A3/S15): units not yet checkpointed done."""
-    done = {
-        int(r.partition_key.split("-")[-1])
-        for r in wh.checkpoints.read(spark).where(F.col("status") == "done").collect()
-    }
+def pending_units(
+    wh: Warehouse, spark: SparkSession, n_buckets: int, run_id: str | None = None
+) -> list[int]:
+    """Resume watermark (A3/S15): units not yet checkpointed done.
+
+    Checkpoints are scoped to a run: only rows of THIS run_id count as
+    done (a new run_id is a fresh sweep over the same warehouse — the
+    idempotent merges make that safe), and a recorded n_buckets that
+    differs from the requested one fails loudly — silently reusing
+    bucket indices under a different modulus would skip rows forever.
+    """
+    rows = wh.checkpoints.read(spark).where(F.col("status") == "done")
+    if run_id is not None:
+        rows = rows.where(F.col("run_id") == run_id)
+    done = set()
+    for r in rows.collect():
+        lineage = json.loads(r.lineage)
+        if lineage.get("n_buckets") != n_buckets:
+            raise ValueError(
+                f"checkpoint {r.partition_key} was written with "
+                f"n_buckets={lineage.get('n_buckets')}, resume requested "
+                f"n_buckets={n_buckets}; re-bucketing an existing run is "
+                f"not resumable — use a new run_id"
+            )
+        done.add(int(lineage["bucket"]))
     return [b for b in range(n_buckets) if b not in done]
+
+
+def sweep_gaps(spark: SparkSession, present, lo: int, hi: int) -> int:
+    """S7 range-driven gap accounting: how many keys in [lo, hi] have NO
+    row in ``present`` (one integer column). The reference's codepoint
+    loop tallies characters whose detail page never materialized
+    (/root/reference/hanzi/hanyuguoxue.py:1146-1242); the Spark
+    restatement is an anti-join of the expected universe against the
+    observed keys — one shuffle on a dense uniform key."""
+    universe = spark.range(lo, hi + 1).select(F.col("id").alias("_k"))
+    observed = present.toDF("_k").distinct()
+    return universe.join(observed, "_k", "left_anti").count()
+
+
+#: composed-of dimension rows beyond which the runner switches the
+#: dimension join from broadcast to the content-salted shuffle join.
+#: The full CJK character universe (~90k) broadcasts comfortably; the
+#: threshold exists for dimension tables that outgrow that budget.
+SALTED_DIM_THRESHOLD = 2_000_000
+
+
+def _metrics_row(
+    wh: Warehouse,
+    spark: SparkSession,
+    run_id: str,
+    batch_idx: int,
+    processed: int,
+    success: int,
+    fail: int,
+    missing: int,
+    reason: str,
+    elapsed: float,
+) -> None:
+    row = {
+        "run_id": run_id,
+        "batch_idx": batch_idx,
+        "start": batch_idx,
+        "end": batch_idx + 1,
+        "processed": processed,
+        "success": success,
+        "fail": fail,
+        "missing_detail_pages": missing,
+        "termination_reason": reason,
+        "elapsed_seconds": elapsed,
+        "insert_rate_per_sec": round(success / elapsed, 3) if elapsed > 0 else 0.0,
+        "error_rate": round(fail / processed, 4) if processed > 0 else 0.0,
+        "timestamp": datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    wh.run_metrics.append(spark.createDataFrame([row], wh.run_metrics.schema))
 
 
 def run_incremental(
@@ -55,12 +123,21 @@ def run_incremental(
     run_id: str = "run-1",
     n_buckets: int = 4,
     fail_buckets: set[int] | None = None,
+    sweep_range: tuple[int, int] | None = None,
 ) -> Warehouse:
     """Process pending buckets one commit at a time; re-entrant.
 
-    ``fail_buckets`` injects a crash after processing (before the
-    checkpoint commit) — used by the replay-idempotence tests to prove
-    an interrupted unit re-runs to an identical result.
+    ``fail_buckets`` injects an interrupt after processing (before the
+    checkpoint commit) — the stand-in for the reference's SIGINT path: a
+    ``manual_exit`` metrics row is recorded (batch_crawl.py:329-340),
+    then the run aborts; the replay-idempotence tests prove the
+    interrupted unit re-runs to an identical result.
+
+    ``sweep_range`` enables S7 gap accounting: after the last unit, the
+    codepoint universe [lo, hi] is anti-joined against the observed
+    zidian pages and the gap count recorded as a final metrics row
+    (the reference's per-codepoint failure tally,
+    hanyuguoxue.py:1146-1242).
     """
     wh = Warehouse(warehouse_root)
 
@@ -75,28 +152,41 @@ def run_incremental(
 
     # GLOBAL composed-of dimension: a word in one bucket must still link
     # characters whose zidian page lives in another bucket. Derived from
-    # the path codepoint — no parse needed, one cheap distinct projection.
-    # codepoint → character natively: 4-byte big-endian UTF-32 decode
-    # (Spark's char() truncates to Latin-1, useless for CJK)
+    # the PARSED pages after the same validity gate build_graph applies
+    # (error IS NULL and basic_info character present) — a path-codepoint
+    # decode would admit characters the per-bucket pipeline rejects and
+    # silently diverge from the single-shot result on malformed pages.
+    # One global parse pass over the zidian family, pinned once and
+    # reused by every bucket.
+    from kgpipe.parse.udfs import parse_hanzi_udf
+
     hanzi_dim = (
         corpus.where(F.col("path").startswith("zidian/"))
-        .select(
-            F.expr(
-                "decode(unhex(lpad(hex(int(regexp_extract(path, 'zi-(\\\\d+)', 1))), 8, '0')), 'UTF-32')"
-            ).alias("name")
+        .select(parse_hanzi_udf("content", "path").alias("parsed"))
+        .where(
+            F.col("parsed.error").isNull()
+            & F.col("parsed.basic_info.data.character").isNotNull()
         )
-        .where(F.length("name") > 0)
+        .select(F.col("parsed.basic_info.data.character").alias("name"))
         .distinct()
+        .localCheckpoint(eager=True)
+    )
+    composed_mode = (
+        "salted" if hanzi_dim.count() > SALTED_DIM_THRESHOLD else "broadcast"
     )
 
-    pending = pending_units(wh, spark, n_buckets)
+    pending = pending_units(wh, spark, n_buckets, run_id=run_id)
     for bucket in pending:
         t0 = time.time()
         part_key = f"{run_id}-bucket-{bucket}"
         c_slice = corpus_b.where(F.col("_bucket") == bucket).drop("_bucket")
         s_slice = seeds_b.where(F.col("_bucket") == bucket).drop("_bucket")
-        g = build_graph(spark, c_slice, s_slice, run_id=run_id, hanzi_dim=hanzi_dim)
+        g = build_graph(
+            spark, c_slice, s_slice, run_id=run_id, hanzi_dim=hanzi_dim,
+            composed_mode=composed_mode,
+        )
 
+        rows_in = c_slice.count()
         nodes_n = g.nodes.count()
         edges_n = g.edges.count()
         processed = g.family_counts["idiom_seeds"] + g.family_counts["word_seeds"]
@@ -119,34 +209,44 @@ def run_incremental(
         if fail > 0:
             wh.errors.append(g.errors)
 
+        elapsed = round(time.time() - t0, 3)
+
         if fail_buckets and bucket in fail_buckets:
+            # SIGINT analogue (batch_crawl.py:329-340): record the
+            # interruption, leave the unit un-checkpointed, abort
+            _metrics_row(
+                wh, spark, run_id, bucket, processed, success, fail, missing,
+                "manual_exit", elapsed,
+            )
             raise RuntimeError(f"injected failure before checkpoint of bucket {bucket}")
 
-        elapsed = round(time.time() - t0, 3)
-        metrics_row = {
-            "run_id": run_id,
-            "batch_idx": bucket,
-            "start": bucket,
-            "end": bucket + 1,
-            "processed": processed,
-            "success": success,
-            "fail": fail,
-            "missing_detail_pages": missing,
-            # T8 vocabulary (README.md:50-56): all_done on the last unit
-            "termination_reason": "all_done" if bucket == pending[-1] else "batch_completed",
-            "elapsed_seconds": elapsed,
-            "insert_rate_per_sec": round(success / elapsed, 3) if elapsed > 0 else 0.0,
-            "error_rate": round(fail / processed, 4) if processed > 0 else 0.0,
-            "timestamp": datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S"),
-        }
-        wh.run_metrics.append(
-            spark.createDataFrame([metrics_row], wh.run_metrics.schema)
+        # T7/T8 termination vocabulary (reference README.md:50-56),
+        # mapped onto corpus-quality signals:
+        #   blocked_ip      — every record in the unit failed (the batch
+        #                     crawler's systematic-failure exit,
+        #                     batch_crawl.py:288)
+        #   network_outage  — seeds pending but no pages arrived at all
+        #                     (batch_crawl.py:115)
+        #   all_done        — last pending unit (batch_crawl.py:336)
+        #   batch_completed — normal mid-run unit
+        if fail > 0 and success == 0:
+            reason = "blocked_ip"
+        elif rows_in == 0 and processed > 0:
+            reason = "network_outage"
+        elif bucket == pending[-1]:
+            reason = "all_done"
+        else:
+            reason = "batch_completed"
+
+        _metrics_row(
+            wh, spark, run_id, bucket, processed, success, fail, missing,
+            reason, elapsed,
         )
         checkpoint_row = {
             "run_id": run_id,
             "partition_key": part_key,
             "status": "done",
-            "rows_in": c_slice.count(),
+            "rows_in": rows_in,
             "nodes_out": nodes_n,
             "edges_out": edges_n,
             "lineage": json.dumps(
@@ -161,6 +261,20 @@ def run_incremental(
         }
         wh.checkpoints.append(
             spark.createDataFrame([checkpoint_row], wh.checkpoints.schema)
+        )
+
+    if sweep_range is not None and pending:
+        # S7: codepoints in the sweep range with no zidian page at all
+        # are failures the per-bucket loop never sees
+        t0 = time.time()
+        lo, hi = sweep_range
+        observed = corpus.where(F.col("path").startswith("zidian/")).select(
+            F.regexp_extract("path", r"zi-(\d+)", 1).cast("long")
+        )
+        gaps = sweep_gaps(spark, observed, lo, hi)
+        _metrics_row(
+            wh, spark, run_id, n_buckets, hi - lo + 1, hi - lo + 1 - gaps, 0,
+            gaps, "sweep_completed", round(time.time() - t0, 3),
         )
 
     return wh

@@ -69,16 +69,24 @@ def salted_join(
     facts: DataFrame,
     dim: DataFrame,
     key: str,
+    disambiguator: str,
     n_salt: int = 16,
     how: str = "inner",
 ) -> DataFrame:
     """Skew-safe shuffle join: salt the fact side, explode the dim side ×n.
 
-    Used when ``dim`` exceeds the broadcast threshold. The salt must be
-    deterministic per row for reproducibility — derived from a hash of
-    the whole fact row's key + a disambiguator column when present.
+    Used when ``dim`` exceeds the broadcast threshold (the composed-of
+    path wires this in when the hanzi dimension outgrows the broadcast
+    budget — kgpipe.triples.composed_of(mode='salted')). The salt is a
+    pure function of ROW CONTENT — xxhash64(key, disambiguator) — so it
+    is deterministic under any physical partitioning (never
+    spark_partition_id, which varies with input layout). A hot key (一/不
+    in composed-of mentions) fans across n_salt reducers because its
+    rows differ in the disambiguator column.
     """
-    salt = (F.pmod(F.xxhash64(F.col(key), F.spark_partition_id()), F.lit(n_salt))).cast("int")
+    salt = (
+        F.pmod(F.xxhash64(F.col(key), F.col(disambiguator)), F.lit(n_salt))
+    ).cast("int")
     f = facts.withColumn("_salt", salt)
     d = dim.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
     return f.join(d, [key, "_salt"], how).drop("_salt")

@@ -117,11 +117,15 @@ def build_graph(
     run_id: str = "run-1",
     cache: bool = True,
     hanzi_dim: DataFrame | None = None,
+    composed_mode: str = "broadcast",
 ) -> GraphResult:
     """``hanzi_dim`` (one ``name`` column) overrides the composed-of
     dimension — the checkpointed runner passes the *global* character
     universe so that a word in one bucket still links characters whose
-    zidian pages live in another bucket."""
+    zidian pages live in another bucket. ``composed_mode`` selects the
+    composed-of skew strategy (see kgpipe.triples.composed_of); the
+    runner switches to 'salted' when the dimension exceeds the broadcast
+    budget."""
     # ---- parse (one scan per family; zidian parsed once for 7 sections) ----
     chengyu_parsed = _family(corpus, "chengyu").withColumn(
         "parsed", parse_chengyu_udf("content", "path")
@@ -206,7 +210,7 @@ def build_graph(
 
     if hanzi_dim is None:
         hanzi_dim = hz_valid.select(F.col("basic_info.data.character").alias("name"))
-    composed = T.composed_of(terms, hanzi_dim)
+    composed = T.composed_of(terms, hanzi_dim, mode=composed_mode)
 
     radicals = hz_valid.select(
         F.regexp_replace(F.col("basic_info.data.bushou_detail.text"), "部$", "").alias(

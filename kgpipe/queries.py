@@ -343,6 +343,27 @@ def window_topn_per_group(spark, sf):
 # ===========================================================================
 
 @_q(
+    "sweep_gap_count",
+    # universe = [0, max(o_orderkey)] (dense in the testdata); observed =
+    # the URGENT subset — gaps are the universe members never fetched
+    "SELECT CAST((SELECT max(o_orderkey) + 1 FROM orders) - "
+    "(SELECT count(DISTINCT o_orderkey) FROM orders "
+    " WHERE o_orderpriority LIKE '1-%') AS BIGINT) AS missing",
+)
+def sweep_gap_count(spark, sf):
+    # S7 range-driven gap accounting (hanyuguoxue.py:1146-1242): members
+    # of the expected key universe with no observed row — the same
+    # anti-join the incremental runner records as sweep_completed.
+    from kgpipe.checkpoint import sweep_gaps
+
+    o = _t(spark, sf, "orders")
+    hi = o.agg(F.max("o_orderkey")).first()[0]
+    observed = o.where(F.col("o_orderpriority").startswith("1-")).select("o_orderkey")
+    n = sweep_gaps(spark, observed, 0, int(hi))
+    return spark.createDataFrame([(n,)], "missing long")
+
+
+@_q(
     "regexp_extract_priority",
     "SELECT regexp_extract(o_orderpriority, '^(\\d+)', 1) AS pri, count(*) AS cnt "
     "FROM orders GROUP BY pri",

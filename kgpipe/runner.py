@@ -30,6 +30,12 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     ap.add_argument("--demo", action="store_true", help="use the synthetic corpus")
     ap.add_argument("--retry-errors", action="store_true")
+    ap.add_argument(
+        "--sweep",
+        default=None,
+        help="codepoint range LO-HI (hex ok, e.g. 0x4E00-0x9FFF) for S7 "
+        "gap accounting: count range members with no zidian page",
+    )
     args = ap.parse_args()
 
     from kgpipe.checkpoint import finalize, run_incremental
@@ -45,21 +51,33 @@ def main() -> None:
         corpus_df = spark.read.parquet(args.corpus)
         seeds_df = spark.read.parquet(args.seeds)
 
+    run_id = args.run_id
     if args.retry_errors:
+        # T10 (retry_errors.py:79-128): re-drive only the failed keys
+        # under a FRESH run_id — checkpoints are run-scoped, so the retry
+        # sweep re-processes every bucket over the restricted corpus and
+        # the idempotent merges fold corrected records into the warehouse
         from kgpipe.materialize import Warehouse
 
         wh = Warehouse(args.warehouse)
         failed_keys = wh.errors.read(spark).select(F.col("key").alias("path")).distinct()
         corpus_df = corpus_df.join(F.broadcast(failed_keys), "path", "left_semi")
         wh.errors.truncate(spark)
+        run_id = f"{run_id}-retry"
+
+    sweep_range = None
+    if args.sweep:
+        lo, hi = (int(x, 0) for x in args.sweep.split("-"))
+        sweep_range = (lo, hi)
 
     wh = run_incremental(
         spark,
         corpus_df,
         seeds_df,
         args.warehouse,
-        run_id=args.run_id,
+        run_id=run_id,
         n_buckets=args.buckets,
+        sweep_range=sweep_range,
     )
     edges_canonical, triples = finalize(wh, spark)
 

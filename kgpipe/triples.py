@@ -116,17 +116,30 @@ def dedup_edges(edges: DataFrame) -> DataFrame:
 
 
 def composed_of(
-    terms: DataFrame, hanzi_dim: DataFrame, entity_type: str | Column = None
+    terms: DataFrame,
+    hanzi_dim: DataFrame,
+    entity_type: str | Column = None,
+    mode: str = "broadcast",
+    n_salt: int = 16,
 ) -> DataFrame:
     """Word/Idiom → constituent Hanzi edges.
 
     Decomposition is a native expression (no UDF): transform over a char
     sequence. Only characters that exist as zidian corpus rows survive
-    (FIXTURES.md §3.2) — enforced with a broadcast semi-join against the
-    hanzi dimension, which also makes the head-skew keys (一/不)
-    shuffle-free (see kgpipe.link docstring). Per-term duplicate chars
-    collapse in the global dedup's map-side partial aggregation — no
-    pre-distinct shuffle here.
+    (FIXTURES.md §3.2) — enforced with a semi-join against the hanzi
+    dimension. Per-term duplicate chars collapse in the global dedup's
+    map-side partial aggregation — no pre-distinct shuffle here.
+
+    ``mode`` picks the skew strategy for the dimension join (north_star:
+    head keys 一/不 dominate composed-of mentions):
+      * ``broadcast`` (default) — no shuffle at all, so key skew cannot
+        concentrate on one reducer; correct whenever the character
+        universe fits the broadcast budget (≤ ~90k rows even at full
+        CJK coverage);
+      * ``salted`` — content-deterministic salted shuffle join
+        (kgpipe.link.salted_join) for a dimension beyond broadcast:
+        each hot character fans across ``n_salt`` reducers keyed by
+        xxhash64(char, src_name).
     """
     et = _type_col(entity_type if entity_type is not None else F.col("entity_type"))
     chars = terms.select(
@@ -137,7 +150,16 @@ def composed_of(
         ).alias("char"),
         F.col("path").alias("lineage"),
     )
-    present = chars.join(
-        F.broadcast(hanzi_dim.select(F.col("name").alias("char"))), "char", "left_semi"
-    )
+    dim = hanzi_dim.select(F.col("name").alias("char"))
+    if mode == "salted":
+        from kgpipe.link import salted_join
+
+        # inner join must not fan out on duplicate dimension rows (the
+        # broadcast path's left_semi dedups implicitly)
+        present = salted_join(
+            chars, dim.distinct(), key="char", disambiguator="src_name",
+            n_salt=n_salt, how="inner",
+        )
+    else:
+        present = chars.join(F.broadcast(dim), "char", "left_semi")
     return directed(present, F.col("_et"), "src_name", "Hanzi", "char", "composed-of")

@@ -84,6 +84,128 @@ def test_snapshot_isolation_and_truncate(spark, tmp_path):
     assert t.read(spark).count() == 0
 
 
+def test_run_scoped_checkpoints_and_bucket_mismatch(spark, frames, tmp_path):
+    """Resume is scoped to (run_id, n_buckets): another run_id is a fresh
+    sweep; a different n_buckets for a recorded run fails loudly instead
+    of silently skipping bucket indices under the wrong modulus."""
+    cdf, sdf = frames
+    root = str(tmp_path / "whrs")
+    run_incremental(spark, cdf, sdf, root, run_id="run-1", n_buckets=2)
+    wh = Warehouse(root)
+    assert pending_units(wh, spark, 2, run_id="run-1") == []
+    assert pending_units(wh, spark, 2, run_id="run-2") == [0, 1]
+    with pytest.raises(ValueError, match="n_buckets"):
+        pending_units(wh, spark, 4, run_id="run-1")
+
+
+def test_retry_errors_converges(spark, small_corpus, tmp_path):
+    """T10 (reference retry_errors.py:79-128): corrupt page → errors row;
+    retry over the corrected failed keys under a fresh run_id folds the
+    fixed records in — node set converges to the clean run's."""
+    cdf, sdf = corpus_to_dataframes(spark, small_corpus)
+    bad_path = cdf.where(F.col("path").startswith("zidian/")).select("path").first().path
+    corrupt = cdf.withColumn(
+        "content",
+        F.when(F.col("path") == bad_path, F.lit("<<<not html")).otherwise(
+            F.col("content")
+        ),
+    )
+    root = str(tmp_path / "whretry")
+    wh = run_incremental(spark, corrupt, sdf, root, run_id="run-1", n_buckets=2)
+    errs = wh.errors.read(spark)
+    assert errs.where(F.col("key") == bad_path).count() == 1
+
+    # the runner's --retry-errors flow: corpus restricted to failed keys,
+    # errors truncated, fresh run_id
+    failed = errs.select(F.col("key").alias("path")).distinct()
+    retry_corpus = cdf.join(F.broadcast(failed), "path", "left_semi")
+    wh.errors.truncate(spark)
+    wh = run_incremental(
+        spark, retry_corpus, sdf, root, run_id="run-1-retry", n_buckets=2
+    )
+    assert wh.errors.read(spark).count() == 0
+
+    def node_set(w):
+        return {
+            (r.entity_type, r.name, r.crawled)
+            for r in w.nodes.read(spark).select("entity_type", "name", "crawled").collect()
+        }
+
+    clean = run_incremental(
+        spark, cdf, sdf, str(tmp_path / "whclean"), run_id="run-1", n_buckets=2
+    )
+    assert node_set(wh) == node_set(clean)
+
+
+def test_termination_vocabulary_reachable(spark, frames, tmp_path):
+    """T7/T8: every reference termination_reason value (README.md:50-56)
+    must be reachable from a corpus-quality signal."""
+    cdf, sdf = frames
+
+    # blocked_ip: every record in the unit fails (all-corrupt zidian)
+    zid = cdf.where(F.col("path").startswith("zidian/")).withColumn(
+        "content", F.lit("<<<not html")
+    )
+    wh = run_incremental(
+        spark, zid, sdf.where(F.lit(False)), str(tmp_path / "whb"), n_buckets=1
+    )
+    assert [r.termination_reason for r in wh.run_metrics.read(spark).collect()] == [
+        "blocked_ip"
+    ]
+
+    # network_outage: seeds pending but no pages arrived
+    wh = run_incremental(
+        spark, cdf.where(F.lit(False)), sdf, str(tmp_path / "whn"), n_buckets=1
+    )
+    assert [r.termination_reason for r in wh.run_metrics.read(spark).collect()] == [
+        "network_outage"
+    ]
+
+    # manual_exit: the SIGINT analogue records a metrics row, then aborts
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_incremental(spark, cdf, sdf, str(tmp_path / "whm"), n_buckets=2,
+                        fail_buckets={0})
+    reasons = [
+        r.termination_reason
+        for r in Warehouse(str(tmp_path / "whm")).run_metrics.read(spark).collect()
+    ]
+    assert reasons == ["manual_exit"]
+
+
+def test_sweep_gap_accounting(spark, frames, tmp_path):
+    """S7: codepoints in the sweep range with no zidian page are counted
+    as missing (reference hanyuguoxue.py:1146-1242) — plant a hole and
+    assert the tally."""
+    cdf, sdf = frames
+    cps = sorted(
+        int(r[0])
+        for r in cdf.where(F.col("path").startswith("zidian/"))
+        .select(F.regexp_extract("path", r"zi-(\d+)", 1).cast("long"))
+        .collect()
+    )
+    lo, hi = cps[0], cps[-1]
+    # plant a hole: drop one page from the middle of the range
+    hole = cps[len(cps) // 2]
+    holed = cdf.where(
+        ~(
+            F.col("path").startswith("zidian/")
+            & (F.regexp_extract("path", r"zi-(\d+)", 1).cast("long") == hole)
+        )
+    )
+    expected = (hi - lo + 1) - (len(set(cps)) - 1)
+    wh = run_incremental(
+        spark, holed, sdf, str(tmp_path / "whsweep"), n_buckets=2,
+        sweep_range=(lo, hi),
+    )
+    row = (
+        wh.run_metrics.read(spark)
+        .where(F.col("termination_reason") == "sweep_completed")
+        .first()
+    )
+    assert row is not None and row.missing_detail_pages == expected
+    assert row.missing_detail_pages >= 1
+
+
 def test_insert_ignore_commits_are_o_delta(spark, tmp_path):
     """The scale contract for the edges sink: bytes physically written per
     commit must track the DELTA size, not the table size (manifest reuse

@@ -143,6 +143,41 @@ def test_determinism_across_partitionings(spark, small_corpus, graph):
     assert t_base == t_one
 
 
+def test_salted_composed_of_matches_broadcast(spark, small_corpus, graph):
+    """Skew path (north_star): the content-salted shuffle join must
+    produce the exact broadcast-join edge set, with a deterministic
+    row-content salt (never spark_partition_id) and no broadcast of the
+    dimension in its plan."""
+    from kgpipe import plans
+    from kgpipe import triples as T
+
+    cdf, sdf = corpus_to_dataframes(spark, small_corpus)
+    g_salted = build_graph(spark, cdf, sdf, cache=False, composed_mode="salted")
+
+    def composed(g):
+        return {
+            (r.src_name, r.dst_name)
+            for r in g.edges.where(F.col("rel_type") == "composed-of").collect()
+        }
+
+    assert composed(g_salted) == composed(graph)
+
+    # plan shape: direct composed_of in salted mode shuffles on the salted
+    # key — no broadcast join, salt derived from row content
+    terms = spark.createDataFrame(
+        [("AB", "Word", "p1"), ("BC", "Word", "p2")],
+        "name string, entity_type string, path string",
+    )
+    dim = spark.createDataFrame([("A",), ("B",), ("C",)], "name string")
+    salted = T.composed_of(terms, dim, mode="salted")
+    plan = plans.physical_plan(salted)
+    assert "_salt" in plan
+    assert "spark_partition_id" not in plan
+    assert "BroadcastHashJoin" not in plan
+    rows = {(r.src_name, r.dst_name) for r in salted.collect()}
+    assert rows == {("AB", "A"), ("AB", "B"), ("BC", "B"), ("BC", "C")}
+
+
 def test_replay_idempotence(spark, small_corpus, graph):
     """Running the pipeline twice and merging must equal one run
     (INSERT IGNORE / upsert semantics, SURVEY.md T2-T3)."""
