@@ -137,6 +137,13 @@ def main() -> None:
     kg_sec = min(kg_rounds)
     timings["kg_pipeline"] = kg_sec
 
+    # one warmup pass over the headline suite (python-worker spawn, codegen
+    # compilation, file-index caching are per-process one-time costs a
+    # long-lived cluster amortizes), then the timed pass measures steady
+    # state — BENCH.md showed a 6x cold/warm spread without this
+    for name in HEADLINE:
+        _force(QUERIES[name](spark, sf_dir))
+    gc.collect()
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.time()

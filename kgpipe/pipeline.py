@@ -140,6 +140,8 @@ def build_graph(
         zidian_parsed = zidian_parsed.persist()
 
     # ---- linkage (J2/P13): seed ⋈ page title, by family -------------------
+    # null-name seeds dropped (reference ciyu_neo4j.py:37-39)
+    seeds = seeds.where(F.col("name").isNotNull())
     idiom_seeds = seeds.where(F.col("entity_type") == "Idiom").select("name")
     word_seeds = seeds.where(F.col("entity_type") == "Word").select("name")
     idiom_linked, idiom_missing = L.link_seeds_to_pages(
