@@ -185,6 +185,43 @@ def dedup_minhash_lsh(
     return band_bucket_pairs(minhash_banded(docs, k=k, num_hashes=num_hashes, bands=bands))
 
 
+def dedup_clusters(
+    docs: DataFrame, k: int = 5, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """End-to-end near-duplicate resolution: every document assigned to a
+    duplicate cluster with a deterministic survivor.
+
+    Pipeline: row-local MinHash banding → LSH candidate pairs →
+    connected components over the pair graph (transitive closure: A≈B,
+    B≈C ⇒ one cluster even when A,C never share a band) → cluster id =
+    min doc_id of the component; documents in no pair are their own
+    singleton cluster. ``is_survivor`` marks the kept copy.
+
+    Scale: pairs are LSH-pruned (never all-pairs); the CC loop shuffles
+    only the pair graph (tiny vs the corpus — duplicate clusters, not
+    documents); the final assignment is one broadcast-sized left join
+    per run at sandbox scale and a standard shuffle join at warehouse
+    scale. Returns (doc_id, cluster_id, is_survivor).
+    """
+    from kgpipe.canon import connected_components
+
+    pairs = band_bucket_pairs(minhash_banded(docs, k=k, num_hashes=num_hashes, bands=bands))
+    sc = docs.sparkSession.sparkContext
+    comp = connected_components(
+        pairs, src="doc_a", dst="doc_b", num_partitions=sc.defaultParallelism
+    )
+    cluster = F.coalesce(F.col("component_id"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("doc_id")).alias("is_survivor"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (verification stage for LSH candidates)
 # ---------------------------------------------------------------------------

@@ -495,6 +495,34 @@ def dedup_minhash_lsh(spark, sf):
     return textops.dedup_minhash_lsh(_t(spark, sf, "documents"))
 
 
+_CLUSTER_ORACLE = (
+    "WITH RECURSIVE pairs AS (" + _MINHASH_ORACLE + "), "
+    """
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+walk(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a
+),
+reach AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM walk GROUP BY a)
+SELECT d.doc_id,
+  coalesce(r.cluster_id, d.doc_id) AS cluster_id,
+  coalesce(r.cluster_id, d.doc_id) = d.doc_id AS is_survivor
+FROM documents d LEFT JOIN reach r ON r.doc_id = d.doc_id
+"""
+)
+
+
+@_q("dedup_clusters", _CLUSTER_ORACLE)
+def dedup_clusters(spark, sf):
+    # transitive near-dup resolution: LSH pairs -> connected components ->
+    # deterministic survivor (oracle: recursive-CTE transitive closure)
+    return textops.dedup_clusters(_t(spark, sf, "documents"))
+
+
 _JACCARD_ORACLE = """
 WITH pairs AS (
   SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b

@@ -67,6 +67,42 @@ def streaming_mention_edges(corpus_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_windowed_metrics(
+    events_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """A1/A2 restated for streams: per-(event-time window, event_type)
+    counters with late-data tolerance.
+
+    The reference emits one metrics row per completed batch
+    (batch_crawl.py:342-366) — wall-clock-batch bucketing. The streaming
+    restatement buckets by EVENT time: a watermark bounds how late a row
+    may arrive and lets the state store finalize (and evict) windows —
+    without it, windowed state grows forever. The aggregation itself is
+    the same map-side-combining hash count as the batch path, so a
+    replayed micro-batch converges to identical totals.
+    """
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("processed"),
+            F.count(F.when(F.col("value") > 50, 1)).alias("success"),
+            F.count(F.when(F.col("value") <= 50, 1)).alias("fail"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "processed",
+            "success",
+            "fail",
+        )
+    )
+
+
 def run_stream_to_warehouse(
     spark: SparkSession,
     source_dir: str,

@@ -108,6 +108,43 @@ def test_l2_norms(emb):
     assert out[0] == 1.0 and out[3] == 1.0
 
 
+def test_dedup_clusters_assignment(docs):
+    out = {
+        r.doc_id: (r.cluster_id, r.is_survivor)
+        for r in textops.dedup_clusters(docs).collect()
+    }
+    assert len(out) == 6  # every document assigned
+    # exact duplicates 1/2 share every band → one cluster, min id survives
+    assert out[1] == (1, True) and out[2] == (1, False)
+    # near-dup 3 joins the cluster via shared bands (high shingle overlap)
+    assert out[3] == (1, False)
+    # unrelated docs are their own singleton survivors
+    assert out[4] == (4, True) and out[5] == (5, True)
+
+
+def test_dedup_clusters_transitive(spark):
+    """A≈B and B≈C must land in ONE cluster even if A and C never share
+    a band — the CC closure, not just pairwise candidates."""
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    c = "iota kappa lambda mu nu xi omicron pi"
+    b = a[: len(a) // 2] + " " + c[len(c) // 2 :]  # half of each
+    docs = spark.createDataFrame(
+        [(10, a), (20, b), (30, c)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b) for r in textops.dedup_minhash_lsh(docs).collect()
+    }
+    clusters = {
+        r.doc_id: r.cluster_id for r in textops.dedup_clusters(docs).collect()
+    }
+    if pairs >= {(10, 20), (20, 30)} and (10, 30) not in pairs:
+        # the interesting case: transitivity must bridge the gap
+        assert clusters == {10: 10, 20: 10, 30: 10}
+    # in every case cluster ids are the component minimum
+    for doc, cl in clusters.items():
+        assert cl <= doc
+
+
 def test_multimodal_image_meta(spark):
     media = synthetic_media(spark, 30)
     meta = image_metadata(media).collect()

@@ -81,6 +81,64 @@ def test_codegen_covers_native_ops(spark):
     assert plans.count_codegen_stages(df) >= 1
 
 
+def test_streaming_windowed_metrics_match_batch(spark, tmp_path):
+    """Event-time windowed counters with a watermark (availableNow drain)
+    must equal the batch windowed aggregation over the same input —
+    including rows that arrive out of event-time order across files."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from kgpipe.streaming import streaming_windowed_metrics
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", LongType()),
+    ])
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, ["click", "view"][i % 2], base + dt.timedelta(minutes=(i * 7) % 120), i % 100)
+        for i in range(200)
+    ]
+    src = str(tmp_path / "events_src")
+    # two files, second containing the EARLIER timestamps → late arrivals
+    df = spark.createDataFrame(rows, schema)
+    df.where(F.col("ts") >= base + dt.timedelta(minutes=60)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    df.where(F.col("ts") < base + dt.timedelta(minutes=60)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = streaming_windowed_metrics(stream, window="10 minutes", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_metrics")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.window_start, r.event_type, r.processed, r.success, r.fail)
+        for r in spark.sql("SELECT * FROM win_metrics").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type, r.processed, r.success, r.fail)
+        for r in streaming_windowed_metrics(
+            spark.read.parquet(src), window="10 minutes", watermark="2 hours"
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+
+
 def test_streaming_matches_batch(spark, small_corpus, tmp_path):
     """availableNow stream over the corpus directory must produce exactly
     the batch pipeline's synonym/antonym edge set, and replaying the
