@@ -158,11 +158,12 @@ def run_incremental(
     # silently diverge from the single-shot result on malformed pages.
     # One global parse pass over the zidian family, pinned once and
     # reused by every bucket.
-    from kgpipe.parse.udfs import parse_hanzi_udf
+    from kgpipe.parse.udfs import make_parse_hanzi_udf
 
+    parse_basic_udf = make_parse_hanzi_udf(("basic_info",))
     hanzi_dim = (
         corpus.where(F.col("path").startswith("zidian/"))
-        .select(parse_hanzi_udf("content", "path").alias("parsed"))
+        .select(parse_basic_udf("content", "path").alias("parsed"))
         .where(
             F.col("parsed.error").isNull()
             & F.col("parsed.basic_info.data.character").isNotNull()

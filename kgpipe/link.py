@@ -43,12 +43,17 @@ def link_seeds_to_pages(
     the page's parse struct; ``missing`` is the seeds that found no valid
     detail page (the reference's missing_detail_pages path).
 
-    The seed side is the smaller relation at corpus scale, so we hint it
-    broadcast; Catalyst falls back to SMJ if it exceeds the threshold.
+    Join strategy is left to Catalyst + AQE deliberately: when the seed
+    universe is small it broadcasts (runtime-converted by AQE from actual
+    sizes); when seeds scale with the corpus (the 10^12-file case — and
+    the bench corpus, where ~1M seeds once cost two driver-serial
+    broadcast builds per run), both sides shuffle on the uniform
+    normalized-title key. Never force-broadcast a relation that grows
+    with the input.
     """
     s = seeds.withColumn("_k", normalize_title("name"))
     p = parsed.withColumn("_k", normalize_title(F.col(name_col)))
-    linked = F.broadcast(s).join(p, "_k", "inner").drop("_k")
+    linked = s.join(p, "_k", "inner").drop("_k")
     missing = s.join(p.select("_k"), "_k", "left_anti").drop("_k")
     return linked, missing
 

@@ -547,20 +547,34 @@ def parse_evolution(html: str) -> list[dict]:
 # (hanyuguoxue.py:1074-1121)
 # ---------------------------------------------------------------------------
 
-def parse_hanzi_html(html: str, url: Optional[str] = None) -> dict:
+#: section name → extractor over the parsed DOM (evolution runs on raw html)
+_SECTION_FNS = {
+    "basic_info": lambda doc, html: parse_basic_info(doc),
+    "gaishu_info": lambda doc, html: parse_gaishu(doc),
+    "yisi_info": lambda doc, html: parse_yisi(doc),
+    "fanyi_info": lambda doc, html: parse_fanyi(doc),
+    "guoyu_info": lambda doc, html: parse_guoyu(doc),
+    "liangan_info": lambda doc, html: parse_liangan(doc),
+    "evolution_data": lambda doc, html: parse_evolution(html),
+}
+
+ALL_SECTIONS = tuple(_SECTION_FNS)
+
+
+def parse_hanzi_html(
+    html: str, url: Optional[str] = None, sections: tuple = ALL_SECTIONS
+) -> dict:
+    """Parse a zidian page; ``sections`` is the parser-level projection
+    pushdown — callers that consume only a subset of the 7 sections (the
+    KG pipeline needs basic_info + fanyi_info) skip the extraction AND
+    the serialization of the rest. Skipped sections are absent from the
+    result dict (the UDF adapter emits them as NULL structs)."""
     try:
         doc = parse_html(html)
-        return {
-            "url": url,
-            "unicode_decimal": codepoint_from_path(url or ""),
-            "basic_info": parse_basic_info(doc),
-            "gaishu_info": parse_gaishu(doc),
-            "yisi_info": parse_yisi(doc),
-            "fanyi_info": parse_fanyi(doc),
-            "guoyu_info": parse_guoyu(doc),
-            "liangan_info": parse_liangan(doc),
-            "evolution_data": parse_evolution(html),
-        }
+        out = {"url": url, "unicode_decimal": codepoint_from_path(url or "")}
+        for name in sections:
+            out[name] = _SECTION_FNS[name](doc, html)
+        return out
     except Exception as exc:
         return {
             "url": url,

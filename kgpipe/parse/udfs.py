@@ -59,6 +59,8 @@ def _adapt_section(section: dict) -> dict:
 
 
 def _adapt_hanzi(parsed: dict) -> dict:
+    """Sections absent from ``parsed`` (projection-pruned or error path)
+    come back as NULL structs in the typed schema."""
     if "error" in parsed and "basic_info" not in parsed:
         return {
             "url": parsed.get("url"),
@@ -72,18 +74,38 @@ def _adapt_hanzi(parsed: dict) -> dict:
             "liangan_info": None,
             "evolution_data": None,
         }
+
+    def sect(name):
+        s = parsed.get(name)
+        return _adapt_section(s) if s is not None else None
+
+    yisi = parsed.get("yisi_info")
     return {
         "url": parsed.get("url"),
         "unicode_decimal": parsed.get("unicode_decimal"),
         "error": None,
-        "basic_info": _adapt_section(parsed["basic_info"]),
-        "gaishu_info": _adapt_section(parsed["gaishu_info"]),
-        "yisi_info": _adapt_yisi_explanations(parsed["yisi_info"]),
-        "fanyi_info": _adapt_section(parsed["fanyi_info"]),
-        "guoyu_info": _adapt_section(parsed["guoyu_info"]),
-        "liangan_info": _adapt_section(parsed["liangan_info"]),
+        "basic_info": sect("basic_info"),
+        "gaishu_info": sect("gaishu_info"),
+        "yisi_info": _adapt_yisi_explanations(yisi) if yisi is not None else None,
+        "fanyi_info": sect("fanyi_info"),
+        "guoyu_info": sect("guoyu_info"),
+        "liangan_info": sect("liangan_info"),
         "evolution_data": parsed.get("evolution_data"),
     }
+
+
+_HANZI_COLUMNS = [
+    "url",
+    "unicode_decimal",
+    "error",
+    "basic_info",
+    "gaishu_info",
+    "yisi_info",
+    "fanyi_info",
+    "guoyu_info",
+    "liangan_info",
+    "evolution_data",
+]
 
 
 @F.pandas_udf(schemas.CHENGYU_PARSED)
@@ -98,21 +120,25 @@ def parse_ciyu_udf(content: pd.Series, url: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["url", "error", "data"])
 
 
+def make_parse_hanzi_udf(sections: tuple):
+    """Projection-pruned variant of ``parse_hanzi_udf``: only the
+    requested sections are extracted and serialized (the others return
+    NULL structs). The KG pipeline consumes basic_info + fanyi_info;
+    extracting the 5 unused sections costs ~27% of per-page parse CPU
+    and most of the struct serialization through its cache barrier."""
+
+    @F.pandas_udf(schemas.HANZI_PARSED)
+    def udf(content: pd.Series, url: pd.Series) -> pd.DataFrame:
+        rows = [
+            _adapt_hanzi(parse_hanzi_html(c, u, sections=sections))
+            for c, u in zip(content, url)
+        ]
+        return pd.DataFrame(rows, columns=_HANZI_COLUMNS)
+
+    return udf
+
+
 @F.pandas_udf(schemas.HANZI_PARSED)
 def parse_hanzi_udf(content: pd.Series, url: pd.Series) -> pd.DataFrame:
     rows = [_adapt_hanzi(parse_hanzi_html(c, u)) for c, u in zip(content, url)]
-    return pd.DataFrame(
-        rows,
-        columns=[
-            "url",
-            "unicode_decimal",
-            "error",
-            "basic_info",
-            "gaishu_info",
-            "yisi_info",
-            "fanyi_info",
-            "guoyu_info",
-            "liangan_info",
-            "evolution_data",
-        ],
-    )
+    return pd.DataFrame(rows, columns=_HANZI_COLUMNS)

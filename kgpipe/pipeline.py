@@ -34,7 +34,17 @@ from kgpipe import link as L
 from kgpipe import triples as T
 from kgpipe.canon import apply_canonicalization, canonical_mapping
 from kgpipe.ids import node_id
-from kgpipe.parse.udfs import parse_chengyu_udf, parse_ciyu_udf, parse_hanzi_udf
+from kgpipe.parse.udfs import (
+    make_parse_hanzi_udf,
+    parse_chengyu_udf,
+    parse_ciyu_udf,
+)
+
+#: parser-level projection pushdown: the pipeline consumes exactly these
+#: zidian sections (nodes properties, radicals, variants, pinyin,
+#: translations) — the other five are never extracted nor serialized
+PIPELINE_HANZI_SECTIONS = ("basic_info", "fanyi_info")
+parse_hanzi_pruned_udf = make_parse_hanzi_udf(PIPELINE_HANZI_SECTIONS)
 
 UNDIRECTED = ("synonym", "antonym", "variant-of")
 
@@ -134,7 +144,7 @@ def build_graph(
         "parsed", parse_ciyu_udf("content", "path")
     )
     zidian_parsed = _family(corpus, "zidian").select(
-        "path", parse_hanzi_udf("content", "path").alias("parsed")
+        "path", parse_hanzi_pruned_udf("content", "path").alias("parsed")
     )
     if cache:
         zidian_parsed = zidian_parsed.persist()
@@ -159,6 +169,10 @@ def build_graph(
     hz = zidian_parsed.select("path", "parsed.*")
     hz_valid = hz.where(
         F.col("error").isNull() & F.col("basic_info.data.character").isNotNull()
+    ).select(
+        # prune to the consumed sections BEFORE the cache barrier — the
+        # checkpoint then serializes only what downstream reads
+        "path", "unicode_decimal", "basic_info", "fanyi_info"
     )
     if cache:
         # eager localCheckpoint: seven edge families fan out from `terms`

@@ -15,9 +15,28 @@ from pyspark.sql import DataFrame
 
 
 def physical_plan(df: DataFrame) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
         df._jdf.queryExecution(), "formatted"
     )
+    # after execution an AQE plan prints BOTH the Final and the Initial
+    # (pre-adaptive) tree; assertions are about what actually ran — keep
+    # the final tree and only the detail blocks its node ids reference
+    marker = "== Initial Plan =="
+    if marker not in plan:
+        return plan
+    import re
+
+    tree_end = plan.index("\n\n")
+    tree, details = plan[:tree_end], plan[tree_end:]
+    final_tree = tree.split(marker)[0]
+    final_ids = set(re.findall(r"\((\d+)\)", final_tree))
+    blocks = re.split(r"\n(?=\(\d+\) )", details)
+    kept = []
+    for block in blocks:
+        m = re.match(r"\((\d+)\) ", block)
+        if m is None or m.group(1) in final_ids:
+            kept.append(block)
+    return final_tree + "\n".join(kept)
 
 
 def assert_broadcast_join(df: DataFrame) -> None:

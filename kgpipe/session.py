@@ -55,7 +55,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 16m: a broadcast build is DRIVER-SERIAL work — past ~16 MB the
+        # build+ship cost exceeds what a parallel shuffle join pays, and it
+        # becomes the Amdahl floor of the whole run (measured: 2 forced
+        # ~50 MB seed broadcasts cost ~35 s serial at bench scale)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("KGPIPE_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")

@@ -54,6 +54,9 @@ def test_linkage_join_is_broadcast(spark, small_corpus):
         parsed,
         "parsed.data.chengyu",
     )
+    # the strategy is optimizer-chosen: for a small seed universe AQE
+    # must land on broadcast at runtime (the FINAL adaptive plan)
+    linked.collect()
     plans.assert_broadcast_join(linked)
     plans.assert_no_shuffle_join(linked)
 
