@@ -4,9 +4,11 @@
 parse UDFs → linking → canonicalization → deduplicated triples) and
 returns the triples DataFrame. ``queries()`` exposes one entry per
 operator family from SURVEY.md §2 plus the training-data ops;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (the KG pipeline and stub-codec multimodal entries
-are rows-only by design — their strong gate is tests/).
+``oracle_sql()`` gives a DuckDB oracle for EVERY entry — including the
+KG pipeline (golden VALUES tables computed by the independent
+pure-Python oracle in tests/oracle.py), the stub-codec multimodal ops
+(hashlib-computed VALUES) and LSH ANN (SQL port of the md5-hyperplane
+signature). Zero rows-only checks.
 """
 
 from __future__ import annotations

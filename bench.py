@@ -116,17 +116,33 @@ def main() -> None:
     # costs that a long-lived cluster amortizes; the timed round executes
     # the complete identical pipeline (parse → link → edges → CC →
     # canonicalize → dedup) from the cached input.
+    def _persistent_rdd_ids(sc) -> set:
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _free_cached(sc, keep_ids: set) -> None:
+        """Synchronously drop cached blocks created after ``keep_ids`` was
+        snapshotted (each round's localCheckpoints/persists). Relying on
+        the async ContextCleaner instead lets a previous round's blocks
+        survive INTO the next timed round — heap pressure + GC churn made
+        successive rounds 2x slower (measured 97.6s -> 197.5s)."""
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            if int(rid) not in keep_ids:
+                jmap.get(rid).unpersist(True)
+
+    sc = spark.sparkContext
+    input_rdds = _persistent_rdd_ids(sc)
     _force(build_graph(spark, cdf, sdf).triples)
-    # release the warm round's checkpointed RDDs NOW — otherwise the async
-    # ContextCleaner reclaims them in the middle of the timed round
     import gc
 
     gc.collect()
-    time.sleep(3)
+    _free_cached(sc, input_rdds)
+    time.sleep(1)
 
     # best-of-2 timed rounds: steady-state throughput (one-off events —
     # context-cleaner bursts, GC major collections — otherwise add ±30%
-    # run-to-run noise to a single sample)
+    # run-to-run noise to a single sample); each round starts from a clean
+    # block store (input cache excepted)
     kg_rounds = []
     for _ in range(2):
         t0 = time.time()
@@ -134,6 +150,7 @@ def main() -> None:
         n_triples = _force(g.triples)
         kg_rounds.append(round(time.time() - t0, 3))
         gc.collect()
+        _free_cached(sc, input_rdds)
     kg_sec = min(kg_rounds)
     timings["kg_pipeline"] = kg_sec
 
