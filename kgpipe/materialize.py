@@ -249,6 +249,41 @@ class SnapshotTable:
         """S17 admin operation (clear_crawled_data.py:34-83)."""
         return self._commit([])
 
+    # -- maintenance (Iceberg rewrite_data_files / expire_snapshots) ---------
+    def compact(self, spark: SparkSession) -> int:
+        """Rewrite the current table into one data directory (per bucket
+        when bucketed) and commit a manifest referencing only the new
+        files. O(delta) commits trade write amplification for file-count
+        growth — a periodic compaction (Iceberg's rewrite_data_files)
+        caps reader-side file listing and footer overhead. Old snapshots
+        remain readable until expired."""
+        current = self.read(spark)
+        return self._commit(self._write_data(current))
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop manifests older than the last ``keep_last`` versions and
+        delete data files no retained manifest references (Iceberg's
+        expire_snapshots). Returns the number of data files deleted.
+        Time travel remains available for retained versions."""
+        current = self.current_version()
+        if current is None:
+            return 0
+        cutoff = max(current - keep_last + 1, 1)
+        retained: set[str] = set()
+        for v in range(cutoff, current + 1):
+            retained.update(e["path"] for e in self.manifest(v))
+        removed = 0
+        for v in range(1, cutoff):
+            mpath = self._manifest_path(v)
+            if not os.path.exists(mpath):
+                continue
+            for e in self.manifest(v):
+                if e["path"] not in retained and os.path.exists(e["path"]):
+                    os.remove(e["path"])
+                    removed += 1
+            os.remove(mpath)
+        return removed
+
     # -- introspection (tests / ops) ----------------------------------------
     def commit_delta_bytes(self, version: int) -> int:
         """Bytes of NEW data files introduced by snapshot ``version`` —

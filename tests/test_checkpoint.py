@@ -275,6 +275,37 @@ def test_merge_best_rewrites_only_colliding_buckets(spark, tmp_path):
     assert t.read(spark).where("node_id = 7").first().crawled is True
 
 
+def test_compact_and_expire_snapshots(spark, tmp_path):
+    """Maintenance ops: compaction caps file-count growth without
+    changing table contents; snapshot expiry deletes unreferenced data
+    files while retained versions stay readable (time travel)."""
+    from kgpipe.schemas import EDGES_SCHEMA
+
+    t = SnapshotTable(
+        str(tmp_path / "tc"), EDGES_SCHEMA,
+        bucket_keys=["src_id", "dst_id", "rel_type"], n_buckets=4,
+    )
+    for i in range(4):
+        rows = [(i * 100 + j, j, "synonym", f"s{i}", f"d{j}", None, "r") for j in range(50)]
+        t.insert_ignore(
+            spark.createDataFrame(rows, EDGES_SCHEMA),
+            keys=["src_id", "dst_id", "rel_type"], order_by=["src_name"],
+        )
+    before = {(r.src_id, r.dst_id) for r in t.read(spark).collect()}
+    files_before = len(t.manifest())
+    v = t.compact(spark)
+    assert len(t.manifest(v)) < files_before
+    assert {(r.src_id, r.dst_id) for r in t.read(spark).collect()} == before
+
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed > 0
+    assert {(r.src_id, r.dst_id) for r in t.read(spark).collect()} == before
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.manifest(1)
+
+
 def test_merge_best_order_independent(spark, tmp_path):
     crawled = spark.createDataFrame(
         [(1, "Idiom", "a", "chengyu/a", "{}", True, "r", None)], NODES_SCHEMA
