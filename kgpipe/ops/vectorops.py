@@ -115,6 +115,73 @@ def hyperplane_signatures(
     return out.select("vec_id", sig.alias("bucket"))
 
 
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (max cosine, 6-dp rounded for engine-portable argmax; ties
+    break to the lowest centroid id). ``centroids`` is a small in-plan
+    literal list — at scale it comes from an offline k-means; here the
+    deterministic stand-in is the first-k vectors.
+
+    One narrow projection — no shuffle, no UDF. At 100 TB the assignment
+    column becomes the partition key of the vector table, so a probe
+    reads only n_probe partitions.
+    """
+    scored = []
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        sim = F.round(_dot(F.col(vec_col), c) / (_norm(F.col(vec_col)) * _norm(c)), 6)
+        # struct comparison: sim first, then -cid so ties pick lowest id
+        scored.append(F.struct(sim.alias("sim"), F.lit(-cid).alias("negid")))
+    best = F.array_max(F.array(*scored))
+    return emb.select("vec_id", vec_col, (-best["negid"]).alias("centroid_id"))
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus, probe only the ``n_probe``
+    centroid cells nearest the query, exact cosine top-k within them.
+
+    The deterministic centroid set is the first ``n_centroids`` vectors
+    by vec_id (a stand-in for trained k-means centroids — the plan shape
+    is identical). Probe-cell selection happens driver-side on the tiny
+    centroid list; the corpus-side work is one narrow assignment pass +
+    a pruned top-k.
+    """
+    import math
+
+    rows = (
+        emb.where(F.col("vec_id") < n_centroids)
+        .select("vec_id", vec_col)
+        .collect()
+    )
+    centroids = sorted((r.vec_id, [float(x) for x in r[vec_col]]) for r in rows)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    probe = sorted(
+        centroids, key=lambda c: (-cos(query_vec, c[1]), c[0])
+    )[:n_probe]
+    probe_ids = [cid for cid, _ in probe]
+
+    assigned = ivf_assign(emb, centroids, vec_col=vec_col)
+    candidates = assigned.where(F.col("centroid_id").isin(probe_ids))
+    return cosine_topk(candidates, query_vec, k=k, vec_col=vec_col)
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -696,6 +696,43 @@ def dedup_embedding_cosine(spark, sf):
     return vectorops.cosine_near_dup(_t(spark, sf, "embeddings"), threshold=0.3)
 
 
+def _duck_cos(a: str, b: str, dp: int) -> str:
+    return (
+        f"round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+        f"(sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))) * "
+        f"sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))), {dp})"
+    )
+
+
+_IVF_ORACLE = f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.cid, row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY {_duck_cos('e.embedding', 'c.cvec', 6)} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+best AS (SELECT vec_id, embedding, cid FROM assigned WHERE rn = 1),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qprobe AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY {_duck_cos('q.qe', 'c.cvec', 6)} DESC, c.cid LIMIT 2
+)
+SELECT b.vec_id, {_duck_cos('b.embedding', 'q.qe', 4)} AS cosine
+FROM best b, q WHERE b.cid IN (SELECT cid FROM qprobe)
+ORDER BY cosine DESC, b.vec_id LIMIT 10
+"""
+
+
+@_q("ann_ivf_topk", _IVF_ORACLE)
+def ann_ivf_topk(spark, sf):
+    # IVF scale path: coarse-quantize, probe 2 of 8 cells, exact top-k
+    # within. Centroids = first 8 vectors (deterministic k-means stand-in).
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    return vectorops.ann_ivf_topk(emb, qvec, k=10, n_centroids=8, n_probe=2)
+
+
 @_q("ann_lsh_topk")
 def ann_lsh_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")

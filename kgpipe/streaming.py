@@ -103,6 +103,49 @@ def streaming_windowed_metrics(
     )
 
 
+def streaming_stateful_dedup(
+    df: DataFrame, key_cols: list[str], order_col: str
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): emit only the
+    FIRST occurrence of each key across micro-batches — the streaming
+    form of INSERT IGNORE, holding the seen-set in the state store
+    instead of re-reading the sink table per batch.
+
+    State is one flag per distinct key, partitioned by the groupBy hash —
+    the same footprint Structured Streaming's own dropDuplicates keeps,
+    but with an explicit deterministic within-batch winner (min
+    ``order_col``), matching the batch dedup's first-writer-wins
+    formalization (kgpipe.triples.dedup_edges). Arrow-batched
+    (FlatMapGroupsInPandasWithState) — no row-at-a-time Python.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = df.schema
+
+    def first_writer(key, pdfs, state: GroupState):
+        if state.exists:
+            return
+        best: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values(order_col, kind="mergesort").iloc[:1]
+            if best is None or cand.iloc[0][order_col] < best.iloc[0][order_col]:
+                best = cand
+        if best is not None:
+            state.update((1,))
+            yield best
+
+    return df.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
+        first_writer,
+        outputStructType=out_schema,
+        stateStructType="seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_warehouse(
     spark: SparkSession,
     source_dir: str,

@@ -142,6 +142,51 @@ def test_streaming_windowed_metrics_match_batch(spark, tmp_path):
     assert streamed == batch and len(streamed) > 0
 
 
+def test_stateful_streaming_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState first-occurrence filter: a key replayed in a
+    LATER micro-batch must be suppressed by the state store (not by
+    re-reading the sink); exactly one row per key overall, and the
+    within-batch winner is the deterministic min(order_col)."""
+    from kgpipe.streaming import streaming_stateful_dedup
+
+    schema = "src_id long, dst_id long, rel_type string, ord long"
+    src = str(tmp_path / "edges_src")
+    # file 1: key A twice (ord 5 and 2 — winner must be 2), key B
+    spark.createDataFrame(
+        [(1, 2, "synonym", 5), (1, 2, "synonym", 2), (3, 4, "antonym", 1)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    # file 2: key A replayed (must be suppressed), new key C
+    spark.createDataFrame(
+        [(1, 2, "synonym", 9), (5, 6, "synonym", 7)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = streaming_stateful_dedup(
+        stream, key_cols=["src_id", "dst_id", "rel_type"], order_col="ord"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM dedup_state").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r.src_id, r.dst_id, r.rel_type), []).append(r.ord)
+    # one row per key, no cross-batch replays
+    assert {k: len(v) for k, v in by_key.items()} == {
+        (1, 2, "synonym"): 1, (3, 4, "antonym"): 1, (5, 6, "synonym"): 1,
+    }
+    # within-batch determinism: both A-rows of batch 1 compete and the
+    # min-ord row (2) wins; the batch-2 replay (ord 9) never overrides
+    assert by_key[(1, 2, "synonym")][0] == 2
+
+
 def test_streaming_matches_batch(spark, small_corpus, tmp_path):
     """availableNow stream over the corpus directory must produce exactly
     the batch pipeline's synonym/antonym edge set, and replaying the
