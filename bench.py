@@ -116,20 +116,13 @@ def main() -> None:
     # costs that a long-lived cluster amortizes; the timed round executes
     # the complete identical pipeline (parse → link → edges → CC →
     # canonicalize → dedup) from the cached input.
-    def _persistent_rdd_ids(sc) -> set:
-        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    from kgpipe.session import free_cached_since as _free_cached
+    from kgpipe.session import persistent_rdd_ids as _persistent_rdd_ids
 
-    def _free_cached(sc, keep_ids: set) -> None:
-        """Synchronously drop cached blocks created after ``keep_ids`` was
-        snapshotted (each round's localCheckpoints/persists). Relying on
-        the async ContextCleaner instead lets a previous round's blocks
-        survive INTO the next timed round — heap pressure + GC churn made
-        successive rounds 2x slower (measured 97.6s -> 197.5s)."""
-        jmap = sc._jsc.getPersistentRDDs()
-        for rid in list(jmap.keySet().toArray()):
-            if int(rid) not in keep_ids:
-                jmap.get(rid).unpersist(True)
-
+    # each round's localCheckpoints/persists are released synchronously
+    # before the next round — the async ContextCleaner lets them survive
+    # INTO the next timed round (heap pressure + GC churn made successive
+    # rounds 2x slower: 97.6s -> 197.5s measured)
     sc = spark.sparkContext
     input_rdds = _persistent_rdd_ids(sc)
     _force(build_graph(spark, cdf, sdf).triples)

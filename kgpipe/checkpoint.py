@@ -176,6 +176,13 @@ def run_incremental(
         "salted" if hanzi_dim.count() > SALTED_DIM_THRESHOLD else "broadcast"
     )
 
+    from kgpipe.session import free_cached_since, persistent_rdd_ids
+
+    # per-bucket cache hygiene: each build_graph pins checkpoints +
+    # persisted frames; release them after the unit commits, keeping the
+    # shared hanzi dimension (and anything the caller pinned) alive
+    keep_rdds = persistent_rdd_ids(spark.sparkContext)
+
     pending = pending_units(wh, spark, n_buckets, run_id=run_id)
     for bucket in pending:
         t0 = time.time()
@@ -263,6 +270,7 @@ def run_incremental(
         wh.checkpoints.append(
             spark.createDataFrame([checkpoint_row], wh.checkpoints.schema)
         )
+        free_cached_since(spark.sparkContext, keep_rdds)
 
     if sweep_range is not None and pending:
         # S7: codepoints in the sweep range with no zidian page at all

@@ -31,6 +31,13 @@ def main() -> None:
     ap.add_argument("--demo", action="store_true", help="use the synthetic corpus")
     ap.add_argument("--retry-errors", action="store_true")
     ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="after the run: rewrite nodes/edges into compacted files and "
+        "expire all but the last 2 snapshots (Iceberg rewrite_data_files "
+        "+ expire_snapshots)",
+    )
+    ap.add_argument(
         "--sweep",
         default=None,
         help="codepoint range LO-HI (hex ok, e.g. 0x4E00-0x9FFF) for S7 "
@@ -79,6 +86,11 @@ def main() -> None:
         n_buckets=args.buckets,
         sweep_range=sweep_range,
     )
+    if args.compact:
+        for table in (wh.nodes, wh.edges):
+            table.compact(spark)
+            table.expire_snapshots(keep_last=2)
+
     edges_canonical, triples = finalize(wh, spark)
 
     summary = {
