@@ -41,6 +41,30 @@ def test_incremental_equals_single_shot(spark, small_corpus, frames, tmp_path):
     assert m.agg(F.max("end")).first()[0] == 3
 
 
+def test_incremental_equals_single_shot_with_malformed_pages(
+    spark, frames, tmp_path
+):
+    """The incremental runner's global hanzi dimension must apply the
+    SAME validity gate as the single-shot pipeline — on a corpus with a
+    corrupt zidian page the two must still emit identical triples (the
+    path-codepoint dimension of round 1 silently diverged here)."""
+    cdf, sdf = frames
+    bad_path = cdf.where(F.col("path").startswith("zidian/")).select("path").first().path
+    corrupt = cdf.withColumn(
+        "content",
+        F.when(F.col("path") == bad_path, F.lit("<div>truncated")).otherwise(
+            F.col("content")
+        ),
+    )
+    wh = run_incremental(spark, corrupt, sdf, str(tmp_path / "whmal"), n_buckets=3)
+    single = build_graph(spark, corrupt, sdf)
+    assert _triples(wh, spark) == {
+        (r.subj, r.pred, r.obj) for r in single.triples.collect()
+    }
+    # the corrupted page must be recorded, not silently dropped
+    assert wh.errors.read(spark).where(F.col("key") == bad_path).count() == 1
+
+
 def test_crash_resume_converges(spark, frames, tmp_path):
     cdf, sdf = frames
     root = str(tmp_path / "wh_crash")

@@ -55,8 +55,9 @@ def test_all_queries_run_and_match_oracles(spark, duck):
 
     qs = mod.queries()
     oracles = mod.oracle_sql()
-    assert len(qs) >= 30
-    assert set(oracles) <= set(qs)
+    assert len(qs) >= 40
+    # round-2 contract: EVERY query is oracle-checkable, no rows-only rows
+    assert set(oracles) == set(qs)
     mismatches = []
     for name, fn in qs.items():
         sdf = fn(spark, SF_DIR)
