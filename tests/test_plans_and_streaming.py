@@ -142,6 +142,42 @@ def test_streaming_windowed_metrics_match_batch(spark, tmp_path):
     assert streamed == batch and len(streamed) > 0
 
 
+def test_full_graph_stream_matches_batch(spark, small_corpus, tmp_path):
+    """run_graph_stream over the corpus arriving as files (zidian first —
+    the order where the reference's insert-time composed-of semantics
+    lose nothing) must produce the batch pipeline's full canonical triple
+    set after finalize."""
+    from kgpipe.checkpoint import finalize
+    from kgpipe.corpus import corpus_to_dataframes
+    from kgpipe.materialize import Warehouse
+    from kgpipe.pipeline import build_graph
+    from kgpipe.streaming import run_graph_stream
+
+    cdf, sdf = corpus_to_dataframes(spark, small_corpus)
+    src = str(tmp_path / "graph_src")
+    # characters arrive first, then the term pages
+    cdf.where(F.col("path").startswith("zidian/")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    cdf.where(~F.col("path").startswith("zidian/")).coalesce(2).write.mode(
+        "append"
+    ).parquet(src)
+
+    wh_root = str(tmp_path / "graph_wh")
+    run_graph_stream(
+        spark, src, sdf, wh_root, str(tmp_path / "gckpt"), max_files_per_trigger=1
+    )
+    wh = Warehouse(wh_root)
+    _, streamed_triples = finalize(wh, spark)
+    streamed = {(r.subj, r.pred, r.obj) for r in streamed_triples.collect()}
+
+    batch = {
+        (r.subj, r.pred, r.obj)
+        for r in build_graph(spark, cdf, sdf, cache=False).triples.collect()
+    }
+    assert streamed == batch
+
+
 def test_stateful_streaming_dedup_across_batches(spark, tmp_path):
     """applyInPandasWithState first-occurrence filter: a key replayed in a
     LATER micro-batch must be suppressed by the state store (not by
