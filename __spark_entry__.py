@@ -6,7 +6,7 @@ returns the triples DataFrame. ``queries()`` exposes one entry per
 operator family from SURVEY.md §2 plus the training-data ops;
 ``oracle_sql()`` gives a DuckDB oracle for EVERY entry — including the
 KG pipeline (golden VALUES tables computed by the independent
-pure-Python oracle in tests/oracle.py), the stub-codec multimodal ops
+pure-Python oracle in kgpipe/golden.py), the stub-codec multimodal ops
 (hashlib-computed VALUES) and LSH ANN (SQL port of the md5-hyperplane
 signature). Zero rows-only checks.
 """

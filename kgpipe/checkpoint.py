@@ -272,9 +272,11 @@ def run_incremental(
         )
         free_cached_since(spark.sparkContext, keep_rdds)
 
-    if sweep_range is not None and pending:
+    if sweep_range is not None:
         # S7: codepoints in the sweep range with no zidian page at all
-        # are failures the per-bucket loop never sees
+        # are failures the per-bucket loop never sees. Runs regardless of
+        # whether any bucket was pending — a --sweep invocation on an
+        # already-checkpointed run must still record its gap accounting.
         t0 = time.time()
         lo, hi = sweep_range
         observed = corpus.where(F.col("path").startswith("zidian/")).select(

@@ -777,7 +777,7 @@ ORDER BY cosine DESC, s.vec_id LIMIT 10
 
 # ===========================================================================
 # KG pipeline — oracled by the independent pure-Python golden computation
-# (tests/oracle.py) rendered as a DuckDB VALUES table: the corpus is
+# (kgpipe/golden.py) rendered as a DuckDB VALUES table: the corpus is
 # deterministic (seed=42), so the expected triple/node/component sets are
 # computable without Spark and compared value-for-value by the driver.
 # ===========================================================================
@@ -792,17 +792,10 @@ def _kg_corpus(spark):
 
 
 def _golden():
-    """Load the independent pure-Python oracle (tests/oracle.py) by path —
-    the tests directory is not an installed package."""
-    import importlib.util
-    import os
-
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "oracle.py"
-    )
-    spec = importlib.util.spec_from_file_location("_kgpipe_golden_oracle", path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    """The independent pure-Python oracle lives IN the package
+    (kgpipe.golden) so oracle_sql() works from an executor zip or an
+    installed wheel — library code must not reach into the tests tree."""
+    from kgpipe import golden as mod
     from kgpipe.corpus import generate_corpus
 
     return mod, generate_corpus(**_KG_CORPUS_PARAMS)

@@ -20,6 +20,33 @@ import json
 from pyspark.sql import functions as F
 
 
+def prepare_retry(spark, wh, corpus_df, base_run_id: str):
+    """T10 retry setup: restrict the corpus to the failed keys and mint a
+    UNIQUE retry run_id (counter over prior retry sweeps recorded in the
+    checkpoints table). A constant suffix would find every bucket of a
+    second retry already checkpointed done and silently reprocess
+    nothing. Returns (restricted_corpus, retry_run_id). The errors table
+    is NOT touched here — the worklist must survive a mid-retry crash."""
+    failed_keys = wh.errors.read(spark).select(F.col("key").alias("path")).distinct()
+    restricted = corpus_df.join(F.broadcast(failed_keys), "path", "left_semi")
+    prior_retries = (
+        wh.checkpoints.read(spark)
+        .where(F.col("run_id").startswith(f"{base_run_id}-retry-"))
+        .select("run_id")
+        .distinct()
+        .count()
+    )
+    return restricted, f"{base_run_id}-retry-{prior_retries + 1}"
+
+
+def finish_retry(spark, wh, retry_run_id: str) -> None:
+    """After a retry completes: collapse the errors table to the rows
+    THIS retry re-recorded (pages that still fail) — resolved keys drop
+    out; a crash before this point leaves the full worklist intact."""
+    still_failing = wh.errors.read(spark).where(F.col("run_id") == retry_run_id)
+    wh.errors.overwrite(still_failing)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description="kgpipe KG-construction runner")
     ap.add_argument("--corpus", help="parquet dir with corpus(repo,path,commit,lang,content)")
@@ -61,16 +88,14 @@ def main() -> None:
     run_id = args.run_id
     if args.retry_errors:
         # T10 (retry_errors.py:79-128): re-drive only the failed keys
-        # under a FRESH run_id — checkpoints are run-scoped, so the retry
-        # sweep re-processes every bucket over the restricted corpus and
-        # the idempotent merges fold corrected records into the warehouse
+        # under a FRESH, unique run_id — checkpoints are run-scoped, so
+        # the retry sweep re-processes every bucket over the restricted
+        # corpus and the idempotent merges fold corrected records in
         from kgpipe.materialize import Warehouse
 
-        wh = Warehouse(args.warehouse)
-        failed_keys = wh.errors.read(spark).select(F.col("key").alias("path")).distinct()
-        corpus_df = corpus_df.join(F.broadcast(failed_keys), "path", "left_semi")
-        wh.errors.truncate(spark)
-        run_id = f"{run_id}-retry"
+        corpus_df, run_id = prepare_retry(
+            spark, Warehouse(args.warehouse), corpus_df, run_id
+        )
 
     sweep_range = None
     if args.sweep:
@@ -86,6 +111,9 @@ def main() -> None:
         n_buckets=args.buckets,
         sweep_range=sweep_range,
     )
+    if args.retry_errors:
+        finish_retry(spark, wh, run_id)
+
     if args.compact:
         for table in (wh.nodes, wh.edges):
             table.compact(spark)

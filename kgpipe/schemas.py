@@ -305,3 +305,7 @@ CHECKPOINTS_SCHEMA = StructType(
 )
 
 ERRORS_SCHEMA = StructType([_s("run_id"), _s("partition_key"), _s("key"), _s("error")])
+
+#: streaming composed-of dimension: the one narrow column the per-batch
+#: read needs — crawled Hanzi surface forms, append-only
+HANZI_DIM_SCHEMA = StructType([_s("name")])

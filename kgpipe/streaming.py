@@ -169,22 +169,36 @@ def run_graph_stream(
     reference's crawler does; re-driving the term (retry / new run) picks
     them up.
     """
+    import os
+
     from pyspark.sql import functions as _F
 
-    from kgpipe.materialize import Warehouse
+    from kgpipe import schemas
+    from kgpipe.materialize import SnapshotTable, Warehouse
     from kgpipe.parse.udfs import make_parse_hanzi_udf
     from kgpipe.pipeline import build_graph
+    from kgpipe.session import free_cached_since, persistent_rdd_ids
 
     wh = Warehouse(warehouse_root)
+    # Incremental composed-of dimension: a dedicated append-only snapshot
+    # table of crawled Hanzi names. Re-reading the full nodes table per
+    # micro-batch (the previous design) makes ingest cost grow
+    # O(batches × nodes-table) — a quadratic read at stream scale. The
+    # dim table holds ONE narrow column and only ever grows by the
+    # batch's new characters, so the per-batch read stays O(|alphabet|),
+    # independent of how many term/stub nodes accumulate.
+    hanzi_dim_table = SnapshotTable(
+        os.path.join(warehouse_root, "hanzi_dim"), schemas.HANZI_DIM_SCHEMA
+    )
     parse_basic = make_parse_hanzi_udf(("basic_info",))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # per-batch cache hygiene: build_graph pins localCheckpoint/persist
+        # blocks; release them after the merges or a long stream grows the
+        # block store unboundedly (same fix as the bucket runner)
+        keep_rdds = persistent_rdd_ids(spark.sparkContext)
         batch_df = batch_df.dropDuplicates(["path"])
-        known = (
-            wh.nodes.read(spark)
-            .where((_F.col("entity_type") == "Hanzi") & _F.col("crawled"))
-            .select("name")
-        )
+        known = hanzi_dim_table.read(spark)
         batch_chars = (
             batch_df.where(_F.col("path").startswith("zidian/"))
             .select(parse_basic("content", "path").alias("p"))
@@ -193,6 +207,8 @@ def run_graph_stream(
                 & _F.col("p.basic_info.data.character").isNotNull()
             )
             .select(_F.col("p.basic_info.data.character").alias("name"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
         dim = known.unionByName(batch_chars).distinct()
         g = build_graph(
@@ -208,6 +224,11 @@ def run_graph_stream(
         )
         if g.errors.count() > 0:
             wh.errors.append(g.errors)
+        # append only the batch's genuinely-new characters (idempotent on
+        # micro-batch replay) — the dim commit is O(batch), not O(table)
+        new_chars = batch_chars.join(known, "name", "left_anti")
+        hanzi_dim_table.append(new_chars)
+        free_cached_since(spark.sparkContext, keep_rdds)
 
     (
         spark.readStream.schema(CORPUS_SCHEMA)

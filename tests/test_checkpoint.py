@@ -124,8 +124,14 @@ def test_run_scoped_checkpoints_and_bucket_mismatch(spark, frames, tmp_path):
 
 def test_retry_errors_converges(spark, small_corpus, tmp_path):
     """T10 (reference retry_errors.py:79-128): corrupt page → errors row;
-    retry over the corrected failed keys under a fresh run_id folds the
-    fixed records in — node set converges to the clean run's."""
+    retry via the runner's prepare_retry/finish_retry flow. Each retry
+    gets a UNIQUE run_id (so its buckets actually reprocess — a constant
+    suffix would see the previous retry's checkpoints and no-op), and the
+    errors worklist is rewritten only AFTER the retry completes, so a
+    still-failing page keeps its row and a mid-retry crash loses nothing."""
+    from kgpipe.checkpoint import pending_units
+    from kgpipe.runner import finish_retry, prepare_retry
+
     cdf, sdf = corpus_to_dataframes(spark, small_corpus)
     bad_path = cdf.where(F.col("path").startswith("zidian/")).select("path").first().path
     corrupt = cdf.withColumn(
@@ -139,14 +145,21 @@ def test_retry_errors_converges(spark, small_corpus, tmp_path):
     errs = wh.errors.read(spark)
     assert errs.where(F.col("key") == bad_path).count() == 1
 
-    # the runner's --retry-errors flow: corpus restricted to failed keys,
-    # errors truncated, fresh run_id
-    failed = errs.select(F.col("key").alias("path")).distinct()
-    retry_corpus = cdf.join(F.broadcast(failed), "path", "left_semi")
-    wh.errors.truncate(spark)
-    wh = run_incremental(
-        spark, retry_corpus, sdf, root, run_id="run-1-retry", n_buckets=2
-    )
+    # retry 1: the page is STILL corrupt — it must re-record itself and
+    # stay on the worklist (truncate-before-run would have lost it)
+    retry_corpus, retry_id = prepare_retry(spark, wh, corrupt, "run-1")
+    assert retry_id == "run-1-retry-1"
+    wh = run_incremental(spark, retry_corpus, sdf, root, run_id=retry_id, n_buckets=2)
+    finish_retry(spark, wh, retry_id)
+    assert wh.errors.read(spark).where(F.col("key") == bad_path).count() == 1
+
+    # retry 2: page fixed; the fresh counter run_id means every bucket is
+    # genuinely pending again
+    retry_corpus, retry_id = prepare_retry(spark, wh, cdf, "run-1")
+    assert retry_id == "run-1-retry-2"
+    assert pending_units(wh, spark, 2, run_id=retry_id) == [0, 1]
+    wh = run_incremental(spark, retry_corpus, sdf, root, run_id=retry_id, n_buckets=2)
+    finish_retry(spark, wh, retry_id)
     assert wh.errors.read(spark).count() == 0
 
     def node_set(w):
@@ -228,6 +241,21 @@ def test_sweep_gap_accounting(spark, frames, tmp_path):
     )
     assert row is not None and row.missing_detail_pages == expected
     assert row.missing_detail_pages >= 1
+
+    # --sweep on a run whose buckets are ALL already checkpointed must
+    # still run the gap accounting (previously silently skipped when
+    # nothing was pending)
+    wh = run_incremental(
+        spark, holed, sdf, str(tmp_path / "whsweep"), n_buckets=2,
+        sweep_range=(lo, hi),
+    )
+    sweep_rows = (
+        wh.run_metrics.read(spark)
+        .where(F.col("termination_reason") == "sweep_completed")
+        .collect()
+    )
+    assert len(sweep_rows) == 2
+    assert all(r.missing_detail_pages == expected for r in sweep_rows)
 
 
 def test_insert_ignore_commits_are_o_delta(spark, tmp_path):

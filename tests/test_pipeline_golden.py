@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from kgpipe.corpus import corpus_to_dataframes, verify_manifest
 from kgpipe.pipeline import UNDIRECTED, build_graph
-from tests.oracle import golden_triples, precision_recall
+from kgpipe.golden import golden_triples, precision_recall
 
 
 @pytest.fixture(scope="module")
@@ -79,7 +79,7 @@ def test_no_dangling_edge_endpoints(graph):
 
 
 def test_nodes_match_golden(graph, small_corpus):
-    from tests.oracle import golden_nodes
+    from kgpipe.golden import golden_nodes
 
     ours = {
         (r.entity_type, r.name, r.crawled)

@@ -177,6 +177,30 @@ def test_full_graph_stream_matches_batch(spark, small_corpus, tmp_path):
     }
     assert streamed == batch
 
+    # the per-batch composed-of dimension is the dedicated hanzi_dim
+    # table, NOT a rescan of the full nodes table: it holds exactly the
+    # crawled Hanzi names and its on-disk footprint stays tiny relative
+    # to the accumulated nodes table (O(|alphabet|), not O(nodes))
+    import os
+
+    from kgpipe.materialize import SnapshotTable
+    from kgpipe.schemas import HANZI_DIM_SCHEMA
+
+    dim_table = SnapshotTable(os.path.join(wh_root, "hanzi_dim"), HANZI_DIM_SCHEMA)
+    dim_names = {r.name for r in dim_table.read(spark).collect()}
+    crawled_hanzi = {
+        r.name
+        for r in wh.nodes.read(spark)
+        .where((F.col("entity_type") == "Hanzi") & F.col("crawled"))
+        .collect()
+    }
+    assert dim_names == crawled_hanzi
+
+    def table_bytes(t):
+        return sum(os.path.getsize(e["path"]) for e in t.manifest())
+
+    assert table_bytes(dim_table) < table_bytes(wh.nodes)
+
 
 def test_stateful_streaming_dedup_across_batches(spark, tmp_path):
     """applyInPandasWithState first-occurrence filter: a key replayed in a

@@ -1,7 +1,7 @@
 """Skew micro-bench: content-salted join vs plain shuffle join on a
 head-skewed key (north_star: 一/不 dominate composed-of mentions).
 
-Builds a deterministic fact table where ONE key owns half the rows,
+Builds a deterministic fact table where ONE key owns 90% of the rows,
 joins it against a dimension too large to broadcast, and measures:
 
   * the max rows any single reducer group receives (the straggler size)
@@ -46,12 +46,19 @@ def main() -> None:
     # force shuffle joins: the dimension must not broadcast for this test
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
-    # facts: 50% of rows on one hot key, rest uniform; disambiguator = id
+    # facts: 90% of rows on one hot key, rest uniform over k1..kN — every
+    # cold fact key exists in the dimension (dim ids 1..N map to k1..kN,
+    # id 0 is the hot key), so no rows silently vanish from the inner join
     facts = (
         spark.range(N_FACTS)
         .select(
             F.when(F.col("id") % 10 != 0, F.lit("hot"))
-            .otherwise(F.concat(F.lit("k"), (F.col("id") % N_KEYS).cast("string")))
+            .otherwise(
+                F.concat(
+                    F.lit("k"),
+                    ((F.col("id") / 10).cast("long") % N_KEYS + 1).cast("string"),
+                )
+            )
             .alias("key"),
             F.col("id").alias("disambig"),
         )
