@@ -124,6 +124,7 @@ def run_incremental(
     n_buckets: int = 4,
     fail_buckets: set[int] | None = None,
     sweep_range: tuple[int, int] | None = None,
+    full_hanzi_properties: bool = False,
 ) -> Warehouse:
     """Process pending buckets one commit at a time; re-entrant.
 
@@ -192,6 +193,7 @@ def run_incremental(
         g = build_graph(
             spark, c_slice, s_slice, run_id=run_id, hanzi_dim=hanzi_dim,
             composed_mode=composed_mode,
+            full_hanzi_properties=full_hanzi_properties,
         )
 
         rows_in = c_slice.count()

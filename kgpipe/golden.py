@@ -252,6 +252,35 @@ def golden_variant_members(corpus: Corpus) -> set[tuple]:
     return {(name, find(name)) for name in parent}
 
 
+def golden_hanzi_sections(corpus: Corpus) -> set[tuple]:
+    """Independent S11 full-fidelity oracle: per crawled character, the
+    item counts of the five sections the hot path does NOT consume
+    (gaishu summary blocks, yisi explanation readings, guoyu/liangan
+    main-content readings, evolution entries) — the reference persists
+    all of them per character (hanyuguoxue.py:1411-1439). Computed from
+    the pure-Python parser directly, no Spark, no JSON round-trip."""
+    _, hanzi_parsed, _ = _parse_and_link(corpus)
+    out: set[tuple] = set()
+    for h in hanzi_parsed:
+        char = h["basic_info"]["data"]["character"]
+
+        def items(section: str, field: str) -> int:
+            data = (h.get(section) or {}).get("data") or {}
+            return len(data.get(field) or [])
+
+        out.add(
+            (
+                char,
+                items("gaishu_info", "summary_info"),
+                items("yisi_info", "explanations"),
+                items("guoyu_info", "main_content"),
+                items("liangan_info", "main_content"),
+                len(h.get("evolution_data") or []),
+            )
+        )
+    return out
+
+
 def precision_recall(ours: set[tuple], golden: set[tuple]) -> tuple[float, float]:
     if not ours or not golden:
         return (0.0, 0.0)

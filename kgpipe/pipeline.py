@@ -40,11 +40,20 @@ from kgpipe.parse.udfs import (
     parse_ciyu_udf,
 )
 
-#: parser-level projection pushdown: the pipeline consumes exactly these
-#: zidian sections (nodes properties, radicals, variants, pinyin,
-#: translations) — the other five are never extracted nor serialized
+#: parser-level projection pushdown: the triple-derivation hot path
+#: consumes exactly these zidian sections (nodes properties, radicals,
+#: variants, pinyin, translations) — the other five are never extracted
+#: nor serialized unless full_hanzi_properties is requested
 PIPELINE_HANZI_SECTIONS = ("basic_info", "fanyi_info")
 parse_hanzi_pruned_udf = make_parse_hanzi_udf(PIPELINE_HANZI_SECTIONS)
+
+#: S11 full fidelity: the reference persists ALL seven section blobs per
+#: character (hanyuguoxue.py:1411-1439 — basic_info…evolution_data); the
+#: full-section mode materializes every section into the node properties
+#: JSON so a warehouse user can query 意思/国语辞典/两岸词典/字源 data
+from kgpipe.parse.hanzi import ALL_SECTIONS as ALL_HANZI_SECTIONS
+
+parse_hanzi_full_udf = make_parse_hanzi_udf(ALL_HANZI_SECTIONS)
 
 UNDIRECTED = ("synonym", "antonym", "variant-of")
 
@@ -128,6 +137,7 @@ def build_graph(
     cache: bool = True,
     hanzi_dim: DataFrame | None = None,
     composed_mode: str = "broadcast",
+    full_hanzi_properties: bool = False,
 ) -> GraphResult:
     """``hanzi_dim`` (one ``name`` column) overrides the composed-of
     dimension — the checkpointed runner passes the *global* character
@@ -135,8 +145,18 @@ def build_graph(
     zidian pages live in another bucket. ``composed_mode`` selects the
     composed-of skew strategy (see kgpipe.triples.composed_of); the
     runner switches to 'salted' when the dimension exceeds the broadcast
-    budget."""
-    # ---- parse (one scan per family; zidian parsed once for 7 sections) ----
+    budget. ``full_hanzi_properties`` (S11 full fidelity) parses and
+    persists ALL seven zidian sections into the Hanzi node properties —
+    matching the reference's per-character section blobs
+    (hanyuguoxue.py:1411-1439); triple derivation is identical in both
+    modes (it reads only basic_info + fanyi_info)."""
+    hanzi_sections = (
+        ALL_HANZI_SECTIONS if full_hanzi_properties else PIPELINE_HANZI_SECTIONS
+    )
+    parse_hanzi = (
+        parse_hanzi_full_udf if full_hanzi_properties else parse_hanzi_pruned_udf
+    )
+    # ---- parse (one scan per family; zidian parsed once for all sections) --
     chengyu_parsed = _family(corpus, "chengyu").withColumn(
         "parsed", parse_chengyu_udf("content", "path")
     )
@@ -144,7 +164,7 @@ def build_graph(
         "parsed", parse_ciyu_udf("content", "path")
     )
     zidian_parsed = _family(corpus, "zidian").select(
-        "path", parse_hanzi_pruned_udf("content", "path").alias("parsed")
+        "path", parse_hanzi("content", "path").alias("parsed")
     )
     if cache:
         zidian_parsed = zidian_parsed.persist()
@@ -171,8 +191,9 @@ def build_graph(
         F.col("error").isNull() & F.col("basic_info.data.character").isNotNull()
     ).select(
         # prune to the consumed sections BEFORE the cache barrier — the
-        # checkpoint then serializes only what downstream reads
-        "path", "unicode_decimal", "basic_info", "fanyi_info"
+        # checkpoint then serializes only what downstream reads (all 7
+        # in full-fidelity mode, basic+fanyi on the hot path)
+        "path", "unicode_decimal", *hanzi_sections
     )
     if cache:
         # eager localCheckpoint: seven edge families fan out from `terms`
@@ -210,12 +231,17 @@ def build_graph(
     mentions = L.extract_mentions(
         terms, "name", "synonyms", "antonyms", carry_cols=("entity_type",)
     )
+    # node properties: basic_info only on the hot path; every parsed
+    # section in full-fidelity mode (the reference's section blobs,
+    # hanyuguoxue.py:1411-1439)
+    prop_sections = hanzi_sections if full_hanzi_properties else ("basic_info",)
+    prop_cols = [F.col(s) for s in prop_sections] + [F.col("unicode_decimal")]
     hanzi_nodes = hz_valid.select(
         node_id(F.lit("Hanzi"), F.col("basic_info.data.character")).alias("node_id"),
         F.lit("Hanzi").alias("entity_type"),
         F.col("basic_info.data.character").alias("name"),
         F.col("path").alias("url"),
-        F.to_json(F.struct("basic_info", "unicode_decimal")).alias("properties"),
+        F.to_json(F.struct(*prop_cols)).alias("properties"),
         F.lit(True).alias("crawled"),
     )
 

@@ -839,6 +839,74 @@ def _kg_nodes_oracle() -> str:
     return _values_table(rows, ["entity_type", "name", "crawled"])
 
 
+@_q("hanzi_section_fidelity")
+def hanzi_section_fidelity(spark, sf):
+    """S11 full fidelity: build the graph in full-section mode, then read
+    the per-section item counts back OUT of the materialized node
+    ``properties`` JSON — proving the warehouse actually persists all
+    seven section blobs (reference hanyuguoxue.py:1411-1439), not that
+    the parsers merely ran. Oracle = the independent pure-Python parse."""
+    from kgpipe.pipeline import build_graph
+
+    cdf, sdf = _kg_corpus(spark)
+    g = build_graph(spark, cdf, sdf, full_hanzi_properties=True)
+    nodes = g.nodes.where((F.col("entity_type") == "Hanzi") & F.col("crawled"))
+
+    def arr_len(path: str):
+        return F.coalesce(
+            F.json_array_length(F.get_json_object("properties", path)), F.lit(0)
+        ).cast("long")
+
+    return nodes.select(
+        "name",
+        arr_len("$.gaishu_info.data.summary_info").alias("n_gaishu"),
+        arr_len("$.yisi_info.data.explanations").alias("n_yisi"),
+        arr_len("$.guoyu_info.data.main_content").alias("n_guoyu"),
+        arr_len("$.liangan_info.data.main_content").alias("n_liangan"),
+        arr_len("$.evolution_data").alias("n_evolution"),
+    )
+
+
+@_lazy_oracle("hanzi_section_fidelity")
+def _hanzi_section_fidelity_oracle() -> str:
+    mod, corpus = _golden()
+    rows = [
+        (
+            _sq(name),
+            f"CAST({g} AS BIGINT)",
+            f"CAST({y} AS BIGINT)",
+            f"CAST({gu} AS BIGINT)",
+            f"CAST({li} AS BIGINT)",
+            f"CAST({e} AS BIGINT)",
+        )
+        for name, g, y, gu, li, e in sorted(mod.golden_hanzi_sections(corpus))
+    ]
+    return _values_table(
+        rows, ["name", "n_gaishu", "n_yisi", "n_guoyu", "n_liangan", "n_evolution"]
+    )
+
+
+@_q("kg_edge_endpoints_resolve", "SELECT CAST(0 AS BIGINT) AS dangling")
+def kg_edge_endpoints_resolve(spark, sf):
+    """Referential integrity as a driver-gated query: every edge endpoint
+    (raw AND canonicalized) must resolve to a node row — the pipeline
+    mints a stub node for every mention/radical/pinyin/translation
+    endpoint (pipeline.py endpoint_stubs), so the dangling count is 0 by
+    construction; this gate catches any regression in that invariant."""
+    from kgpipe.pipeline import build_graph
+
+    cdf, sdf = _kg_corpus(spark)
+    g = build_graph(spark, cdf, sdf)
+    ids = g.nodes.select("node_id")
+    dangling = 0
+    for edges in (g.edges, g.edges_canonical):
+        for endpoint in ("src_id", "dst_id"):
+            dangling += edges.join(
+                ids.withColumnRenamed("node_id", endpoint), endpoint, "left_anti"
+            ).count()
+    return spark.createDataFrame([(dangling,)], "dangling long")
+
+
 @_q("kg_variant_components")
 def kg_variant_components(spark, sf):
     from kgpipe.canon import canonical_mapping

@@ -65,6 +65,13 @@ def main() -> None:
         "+ expire_snapshots)",
     )
     ap.add_argument(
+        "--full-sections",
+        action="store_true",
+        help="S11 full fidelity: materialize ALL seven zidian sections "
+        "into Hanzi node properties (the reference's per-character blobs, "
+        "hanyuguoxue.py:1411-1439); default keeps the pruned hot path",
+    )
+    ap.add_argument(
         "--sweep",
         default=None,
         help="codepoint range LO-HI (hex ok, e.g. 0x4E00-0x9FFF) for S7 "
@@ -110,6 +117,7 @@ def main() -> None:
         run_id=run_id,
         n_buckets=args.buckets,
         sweep_range=sweep_range,
+        full_hanzi_properties=args.full_sections,
     )
     if args.retry_errors:
         finish_retry(spark, wh, run_id)

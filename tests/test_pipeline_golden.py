@@ -178,6 +178,67 @@ def test_salted_composed_of_matches_broadcast(spark, small_corpus, graph):
     assert rows == {("AB", "A"), ("AB", "B"), ("BC", "B"), ("BC", "C")}
 
 
+def test_full_section_properties_roundtrip(spark, small_corpus, tmp_path):
+    """S11 full fidelity: through the incremental runner + warehouse
+    merge, a crawled Hanzi node's properties JSON must round-trip EVERY
+    section (gaishu/yisi/guoyu/liangan/evolution + basic/fanyi) equal to
+    the pure parser's output — matching the reference's per-character
+    section persistence (hanyuguoxue.py:1411-1439). to_json omits null
+    fields, so the parser side is compared with Nones stripped; triples
+    are unaffected by the mode (derivation reads basic+fanyi only)."""
+    import json
+
+    from kgpipe.checkpoint import run_incremental
+    from kgpipe.parse.hanzi import parse_hanzi_html
+    from kgpipe.parse.udfs import _adapt_hanzi
+
+    cdf, sdf = corpus_to_dataframes(spark, small_corpus)
+    wh = run_incremental(
+        spark, cdf, sdf, str(tmp_path / "whfull"), n_buckets=2,
+        full_hanzi_properties=True,
+    )
+
+    def strip(x):
+        if isinstance(x, dict):
+            return {k: strip(v) for k, v in x.items() if v is not None}
+        if isinstance(x, list):
+            return [strip(v) for v in x]
+        return x
+
+    pages = {
+        r["path"]: r["content"]
+        for r in small_corpus.rows
+        if r["path"].startswith("zidian/")
+    }
+    rows = (
+        wh.nodes.read(spark)
+        .where((F.col("entity_type") == "Hanzi") & F.col("crawled"))
+        .collect()
+    )
+    assert len(rows) >= 5
+    sections = (
+        "basic_info", "gaishu_info", "yisi_info", "fanyi_info",
+        "guoyu_info", "liangan_info", "evolution_data",
+    )
+    for row in rows:
+        props = json.loads(row.properties)
+        expected = strip(_adapt_hanzi(parse_hanzi_html(pages[row.url], row.url)))
+        for section in sections:
+            assert props.get(section) == expected.get(section), (row.name, section)
+
+    # and the default (pruned) mode still stores only basic_info
+    wh2 = run_incremental(
+        spark, cdf, sdf, str(tmp_path / "whpruned"), n_buckets=2
+    )
+    one = json.loads(
+        wh2.nodes.read(spark)
+        .where((F.col("entity_type") == "Hanzi") & F.col("crawled"))
+        .first()
+        .properties
+    )
+    assert "basic_info" in one and "yisi_info" not in one
+
+
 def test_replay_idempotence(spark, small_corpus, graph):
     """Running the pipeline twice and merging must equal one run
     (INSERT IGNORE / upsert semantics, SURVEY.md T2-T3)."""
