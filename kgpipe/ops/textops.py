@@ -229,11 +229,23 @@ def dedup_clusters(
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 5) -> DataFrame:
     """Exact Jaccard over char k-shingles for the given candidate pairs.
 
-    |A∩B| via a join of the two shingle sets (pair-scoped, so the join
-    input is pre-pruned by LSH); |A∪B| = |A|+|B|-|A∩B|. Ratio of two
-    integers rounded at 4 dp — deterministic.
+    Documents are pruned to the PAIR PARTICIPANTS (doc_a ∪ doc_b, semi-
+    join) BEFORE shingling: the LSH stage prunes pairs precisely so that
+    verification touches few documents — shingling the whole corpus and
+    joining afterwards would make the |corpus|×|text| shingle explode the
+    dominant cost at scale and defeat that pruning. After the semi-join,
+    shingle-set sizes and the intersection join scale with the candidate
+    set, not the corpus.
+
+    |A∩B| via a join of the two shingle sets; |A∪B| = |A|+|B|-|A∩B|.
+    Ratio of two integers rounded at 4 dp — deterministic.
     """
-    sh = shingles(docs, k=k)
+    participants = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingles(docs.join(participants, "doc_id", "left_semi"), k=k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

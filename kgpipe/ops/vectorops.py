@@ -51,20 +51,58 @@ def cosine_topk(
     )
 
 
+def _plane(p: int, dim: int):
+    """Pseudo-random ±1 hyperplane p as an array literal: coordinate c is
+    +1 iff the first hex digit of md5("p|c") ≥ '8' — no RNG state,
+    identical on any cluster and portable to the DuckDB oracle."""
+    return F.array(
+        *[
+            F.when(
+                F.substring(F.md5(F.lit(f"{p}|{c}")), 1, 1) >= "8", F.lit(1.0)
+            ).otherwise(F.lit(-1.0))
+            for c in range(dim)
+        ]
+    )
+
+
+def hyperplane_bucket(vec_col="embedding", n_planes: int = 8, dim: int = 32):
+    """Column expression: deterministic random-hyperplane LSH bucket
+    (bit p = sign of dot with plane p) — a pure per-row projection, so
+    adding the bucket to any frame costs zero shuffle."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    sig = None
+    for p in range(n_planes):
+        bit = F.when(_dot(col, _plane(p, dim)) >= 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit * F.lit(2 ** p)
+        sig = term if sig is None else sig + term
+    return sig
+
+
 def cosine_near_dup(
     emb: DataFrame,
     threshold: float = 0.95,
-    block_col: str = "label",
+    block_col: str | None = None,
     vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
-    Candidate generation blocks on ``block_col`` (at scale: an LSH bucket
-    or cluster id — here the label column plays that role) so the
-    quadratic pair space is per-block, not global; the cosine is computed
-    only for candidates. Returns (vec_a, vec_b, cosine) with
+    Candidate generation blocks on ``block_col`` when given (an existing
+    cluster/label column); by DEFAULT it blocks on the deterministic
+    random-hyperplane LSH bucket — computed as a zero-shuffle projection
+    (``hyperplane_bucket``) — the key that exists on ANY embedding corpus
+    and keeps the quadratic pair space per-bucket at scale. The cosine is
+    computed only for candidates. Returns (vec_a, vec_b, cosine) with
     vec_a < vec_b and cosine ≥ threshold (rounded 4 dp).
     """
+    if block_col is None:
+        if dim is None:
+            dim = len(emb.select(vec_col).first()[0])
+        emb = emb.withColumn(
+            "_block", hyperplane_bucket(vec_col, n_planes=n_planes, dim=dim)
+        )
+        block_col = "_block"
     a = emb.select(
         F.col(block_col).alias("_b"), F.col("vec_id").alias("vec_a"),
         F.col(vec_col).alias("_va"),
@@ -86,33 +124,10 @@ def cosine_near_dup(
 def hyperplane_signatures(
     emb: DataFrame, n_planes: int = 8, vec_col: str = "embedding", dim: int = 32
 ) -> DataFrame:
-    """Deterministic random-hyperplane LSH signature (sign of dot with
-    pseudo-random ±1 planes derived from md5(plane, coord) — no RNG
-    state, identical on any cluster)."""
-    def plane(p: int):
-        # coordinate c of plane p: +1 if md5("p|c") first hex digit >= '8'
-        return F.array(
-            *[
-                F.when(
-                    F.substring(F.md5(F.lit(f"{p}|{c}")), 1, 1) >= "8", F.lit(1.0)
-                ).otherwise(F.lit(-1.0))
-                for c in range(dim)
-            ]
-        )
-
-    bits = []
-    for p in range(n_planes):
-        bits.append(
-            F.when(_dot(F.col(vec_col), plane(p)) >= 0, F.lit(1)).otherwise(F.lit(0)).alias(
-                f"bit{p}"
-            )
-        )
-    sig = None
-    out = emb.select("vec_id", *bits)
-    for p in range(n_planes):
-        term = F.col(f"bit{p}") * F.lit(2 ** p)
-        sig = term if sig is None else sig + term
-    return out.select("vec_id", sig.alias("bucket"))
+    """(vec_id, bucket) frame over ``hyperplane_bucket`` — see there."""
+    return emb.select(
+        "vec_id", hyperplane_bucket(vec_col, n_planes=n_planes, dim=dim).alias("bucket")
+    )
 
 
 def ivf_assign(
@@ -188,18 +203,27 @@ def ann_lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     vec_col: str = "embedding",
+    probe_radius: int = 2,
 ) -> DataFrame:
-    """ANN: restrict the cosine scan to the query's LSH bucket.
+    """Multi-probe LSH ANN: restrict the cosine scan to buckets within
+    Hamming distance ``probe_radius`` of the query's bucket.
 
-    At scale the signature table is bucketed/partitioned by ``bucket`` so
-    the probe is one partition read instead of a full scan; here the
-    bucket filter simply prunes before the ranking.
+    Single-bucket probing (radius 0) has poor recall — a vector one
+    narrow hyperplane margin away lands in a sibling bucket — so the
+    standard multi-probe scheme scans the C(n_planes, ≤r) neighboring
+    buckets too: at radius 2 with 8 planes that is 37 of 256 buckets
+    (~14% of a uniform corpus) for a measured recall@10 of 0.3-0.5 on
+    the structure-free synthetic testdata (BENCH.md §ANN recall; real
+    embedding corpora cluster, which is what LSH exploits). At scale the
+    signature table is partitioned by bucket, so the probe reads those
+    partitions instead of a full scan.
     """
     dim = len(query_vec)
     sigs = hyperplane_signatures(emb, n_planes=n_planes, vec_col=vec_col, dim=dim)
     one = emb.sparkSession.createDataFrame([(0, query_vec)], "vec_id long, embedding array<float>")
     q_bucket = hyperplane_signatures(one, n_planes=n_planes, dim=dim).first().bucket
+    probe = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bucket))) <= probe_radius
     candidates = emb.join(
-        F.broadcast(sigs.where(F.col("bucket") == q_bucket).select("vec_id")), "vec_id"
+        F.broadcast(sigs.where(probe).select("vec_id")), "vec_id"
     )
     return cosine_topk(candidates, query_vec, k=k, vec_col=vec_col)

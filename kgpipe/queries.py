@@ -691,9 +691,51 @@ WHERE round(
 
 @_q("dedup_embedding_cosine", _NEAR_DUP_ORACLE)
 def dedup_embedding_cosine(spark, sf):
-    # near-dup by embedding cosine, candidates blocked per label (the
-    # stand-in for an LSH/cluster bucket at scale)
-    return vectorops.cosine_near_dup(_t(spark, sf, "embeddings"), threshold=0.3)
+    # near-dup by embedding cosine with an EXPLICIT block column (a
+    # pre-existing cluster/label key); the default LSH-bucketed blocking
+    # is exercised by dedup_embedding_lsh_blocked below
+    return vectorops.cosine_near_dup(
+        _t(spark, sf, "embeddings"), threshold=0.3, block_col="label"
+    )
+
+
+def _lsh_bucket_sql(n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB port of vectorops.hyperplane_bucket: plane coordinates are
+    md5-derived constants, inlined as DOUBLE list literals."""
+    import hashlib
+
+    def plane(p: int) -> str:
+        coords = [
+            "1.0" if hashlib.md5(f"{p}|{c}".encode()).hexdigest()[0] >= "8" else "-1.0"
+            for c in range(dim)
+        ]
+        return "[" + ", ".join(coords) + "]"
+
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {plane(p)}) >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+
+
+@_q("dedup_embedding_lsh_blocked")
+def dedup_embedding_lsh_blocked(spark, sf):
+    # the DEFAULT blocking path: candidates share a deterministic
+    # random-hyperplane LSH bucket — the key that exists on any embedding
+    # corpus (no label column required), computed as a zero-shuffle
+    # projection
+    return vectorops.cosine_near_dup(_t(spark, sf, "embeddings"), threshold=0.2)
+
+
+@_lazy_oracle("dedup_embedding_lsh_blocked")
+def _dedup_embedding_lsh_blocked_oracle() -> str:
+    cos = _duck_cos("a.embedding", "b.embedding", 4)
+    return f"""
+WITH sigs AS (SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= 0.2
+"""
 
 
 def _duck_cos(a: str, b: str, dp: int) -> str:
@@ -742,35 +784,18 @@ def ann_lsh_topk(spark, sf):
 
 @_lazy_oracle("ann_lsh_topk")
 def _ann_lsh_topk_oracle() -> str:
-    """Direct SQL port of the md5-hyperplane signature: plane coordinates
-    are deterministic constants (md5 of "plane|coord"), inlined as DOUBLE
-    list literals; the probe restricts the cosine scan to the query's
-    bucket — identical candidate set by construction."""
-    import hashlib
-
-    n_planes, dim = 8, 64
-
-    def plane(p: int) -> str:
-        coords = [
-            "1.0" if hashlib.md5(f"{p}|{c}".encode()).hexdigest()[0] >= "8" else "-1.0"
-            for c in range(dim)
-        ]
-        return "[" + ", ".join(coords) + "]"
-
-    bits = " + ".join(
-        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {plane(p)}) >= 0 "
-        f"THEN {2 ** p} ELSE 0 END)"
-        for p in range(n_planes)
-    )
+    """Direct SQL port of the md5-hyperplane signature (_lsh_bucket_sql);
+    the multi-probe scans buckets within Hamming distance 2 of the
+    query's bucket — identical candidate set by construction."""
     return f"""
 WITH sigs AS (
-  SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
+  SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings
 ), q AS (SELECT embedding AS qe, bucket AS qb FROM sigs WHERE vec_id = 0)
 SELECT s.vec_id, round(
   list_dot_product(CAST(s.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))
   / (sqrt(list_sum(list_transform(s.embedding, x -> x::DOUBLE * x::DOUBLE)))
      * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cosine
-FROM sigs s, q WHERE s.bucket = q.qb
+FROM sigs s, q WHERE bit_count(xor(CAST(s.bucket AS BIGINT), CAST(q.qb AS BIGINT))) <= 2
 ORDER BY cosine DESC, s.vec_id LIMIT 10
 """
 

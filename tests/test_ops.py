@@ -48,6 +48,20 @@ def test_ngram_jaccard(docs, spark):
     assert (1, 4) not in j or j[(1, 4)] < 0.1
 
 
+def test_ngram_jaccard_prunes_to_pair_participants(docs, spark):
+    """The shingle explode must touch only pair PARTICIPANTS: the plan
+    semi-joins docs against the pair endpoints BEFORE shingling. Without
+    it the corpus-wide |corpus|×|text| explode would defeat the LSH
+    pruning at scale."""
+    from kgpipe import plans
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    out = textops.ngram_jaccard(docs, pairs)
+    assert "LeftSemi" in plans.physical_plan(out)
+    j = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    assert j == {(1, 2): 1.0}
+
+
 def test_simhash_similarity_structure(docs):
     out = {r.doc_id: r.simhash for r in textops.simhash(docs).collect()}
     assert out[1] == out[2]  # identical text → identical simhash
@@ -101,6 +115,64 @@ def test_cosine_topk(emb):
 def test_ann_lsh_contains_exact_top1(emb):
     out = vectorops.ann_lsh_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3, n_planes=4).collect()
     assert out and out[0].vec_id == 0  # query itself lives in its own bucket
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """Retrieval-QUALITY gate: the SQL oracles prove the ANN algorithms
+    are deterministic, not that they retrieve well — this asserts
+    recall@10 vs exact brute force on the real testdata plus a
+    candidate-set reduction floor, catching a silently bad bucketing the
+    self-consistent oracle can't (measured table in BENCH.md §ANN
+    recall). The synthetic embeddings are structure-free, so these floors
+    are the no-locality worst case; clustered real corpora do better."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    exact = {r.vec_id for r in vectorops.cosine_topk(emb, q, k=10).collect()}
+
+    ivf = {r.vec_id for r in vectorops.ann_ivf_topk(emb, q, k=10).collect()}
+    assert len(exact & ivf) / 10 >= 0.9
+
+    lsh = {r.vec_id for r in vectorops.ann_lsh_topk(emb, q, k=10).collect()}
+    assert len(exact & lsh) / 10 >= 0.3  # radius-0 probing scores 0.1 here
+    sigs = vectorops.hyperplane_signatures(emb, n_planes=8, dim=64)
+    qb = sigs.where(F.col("vec_id") == 0).first().bucket
+    cand = sigs.where(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qb))) <= 2
+    ).count()
+    assert cand <= n / 4  # the probe reads a small fraction of the corpus
+
+
+def test_cosine_near_dup_lsh_blocking_superset(spark, emb):
+    """Default (LSH-bucketed) blocking must find every high-cosine pair
+    that shares a bucket — and each reported pair must genuinely share
+    one (the blocking is the candidate generator, the cosine the gate)."""
+    found = {
+        (r.vec_a, r.vec_b)
+        for r in vectorops.cosine_near_dup(emb, threshold=0.9, n_planes=4).collect()
+    }
+    sigs = {
+        r.vec_id: r.bucket
+        for r in vectorops.hyperplane_signatures(emb, n_planes=4, dim=4).collect()
+    }
+    rows = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))),
+            4,
+        )
+
+    expected = {
+        (a, b)
+        for a in rows
+        for b in rows
+        if a < b and sigs[a] == sigs[b] and cos(rows[a], rows[b]) >= 0.9
+    }
+    assert found == expected and (0, 1) in found
 
 
 def test_l2_norms(emb):
