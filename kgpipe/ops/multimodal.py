@@ -62,16 +62,27 @@ def _decode_image_stub(payload: bytes, strict: bool) -> tuple[int, int, str]:
     return (64 + h[0] % 64, 64 + h[1] % 64, ["png", "jpeg", "webp"][h[2] % 3])
 
 
-def image_metadata(media: DataFrame, strict: bool = False) -> DataFrame:
+def image_metadata(
+    media: DataFrame, strict: bool = False, decode=None
+) -> DataFrame:
     """Decode/inspect images → typed metadata, via Arrow-batched
-    mapInPandas (one Python roundtrip per batch, payload never shuffled)."""
+    mapInPandas (one Python roundtrip per batch, payload never shuffled).
+
+    ``decode``: dependency-injected codec ``callable(bytes) -> (width,
+    height, format)`` — a deployment with PIL/opencv wires its decoder in
+    here without editing the operator (cloudpickle ships the callable to
+    executors with the UDF). Default: the deterministic stub, or
+    NotImplementedError under ``strict``."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                width, height, fmt = _decode_image_stub(data, strict)
+                if decode is not None:
+                    width, height, fmt = decode(data)
+                else:
+                    width, height, fmt = _decode_image_stub(data, strict)
                 rows.append(
                     {
                         "media_id": int(media_id),
@@ -100,20 +111,31 @@ FRAME_SAMPLE_SCHEMA = StructType(
 )
 
 
-def sample_video_frames(media: DataFrame, every_n: int = 10, strict: bool = False) -> DataFrame:
+def sample_video_frames(
+    media: DataFrame, every_n: int = 10, strict: bool = False, decode=None
+) -> DataFrame:
     """Frame sampling plumbing: one input row → k output rows (UDTF shape).
-    STUB codec: 'frames' are deterministic byte slices."""
+
+    ``decode``: dependency-injected codec ``callable(bytes, every_n) ->
+    list[bytes]`` returning the sampled frame payloads — a deployment
+    with a real video library wires it in here. Default STUB codec:
+    'frames' are deterministic byte slices (or NotImplementedError under
+    ``strict``)."""
+
+    def stub_frames(data: bytes, n: int) -> list:
+        if strict:
+            raise NotImplementedError("video decode not available here")
+        n_frames = max(len(data) // max(n, 1), 1)
+        return [data[i * n : (i + 1) * n] for i in range(min(n_frames, 8))]
+
+    frame_fn = decode or stub_frames
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                if strict:
-                    raise NotImplementedError("video decode not available here")
                 data = bytes(payload) if payload is not None else b""
-                n_frames = max(len(data) // max(every_n, 1), 1)
-                for idx in range(min(n_frames, 8)):
-                    chunk = data[idx * every_n : (idx + 1) * every_n]
+                for idx, chunk in enumerate(frame_fn(data, every_n)):
                     rows.append(
                         {
                             "media_id": int(media_id),

@@ -279,6 +279,44 @@ def build_graph(
     ).select("src_name", F.col("p.pinyin").alias("py"), "lineage").where(
         F.length("py") > 0
     )
+    if full_hanzi_properties:
+        # the unpruned sections carry per-reading pinyin (reference
+        # extract_guoyu.py:25-220, extract_yisi.py, extract_liangan.py) —
+        # SURVEY §2.11 maps them to has-pinyin evidence, so full-fidelity
+        # mode widens the evidence base to every section reading; readings
+        # already covered by basic_info dedup away in dedup_edges
+        empty = F.array().cast("array<string>")
+        yisi_py = F.coalesce(
+            F.flatten(
+                F.transform(
+                    F.col("yisi_info.data.explanations"),
+                    lambda e: F.coalesce(
+                        F.transform(e["pinyin_info"], lambda p: p["pinyin"]), empty
+                    ),
+                )
+            ),
+            empty,
+        )
+        guoyu_py = F.coalesce(
+            F.transform(
+                F.col("guoyu_info.data.main_content"),
+                lambda c: c["pinyin_info"]["pinyin"],
+            ),
+            empty,
+        )
+        liangan_py = F.coalesce(
+            F.transform(
+                F.col("liangan_info.data.main_content"),
+                lambda c: c["pinyin_info"]["pinyin"],
+            ),
+            empty,
+        )
+        section_pinyin = hz_valid.select(
+            F.col("basic_info.data.character").alias("src_name"),
+            F.explode(F.concat(yisi_py, guoyu_py, liangan_py)).alias("py"),
+            F.col("path").alias("lineage"),
+        ).where(F.col("py").isNotNull() & (F.length("py") > 0))
+        hz_pinyin = hz_pinyin.unionByName(section_pinyin)
     hz_pinyin_edges = T.directed(hz_pinyin, "Hanzi", "src_name", "Pinyin", "py", "has-pinyin")
     term_pinyin = terms.select(
         "entity_type", F.col("name").alias("src_name"), F.col("pinyin").alias("py"),

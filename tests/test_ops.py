@@ -233,6 +233,34 @@ def test_multimodal_strict_raises(spark):
         image_metadata(media, strict=True).collect()
 
 
+def test_multimodal_injected_codec(spark):
+    """Dependency-injected codecs: a deployment with PIL/ffmpeg wires its
+    decoder in via the ``decode`` parameter — the operator plumbing
+    (schema, batching, shipping the callable to executors) must use it
+    instead of the stub."""
+    import hashlib
+
+    media = synthetic_media(spark, 12)
+
+    def fake_image_codec(data: bytes):
+        return (len(data), 7, "fake")
+
+    meta = image_metadata(media, decode=fake_image_codec).collect()
+    assert meta and all(m.height == 7 and m.format == "fake" for m in meta)
+    assert all(m.width == m.n_bytes for m in meta)
+
+    def fake_video_codec(data: bytes, every_n: int):
+        return [b"frame0", b"frame1"]
+
+    frames = sample_video_frames(media, decode=fake_video_codec).collect()
+    expect = {hashlib.sha256(b"frame0").hexdigest(), hashlib.sha256(b"frame1").hexdigest()}
+    assert frames and {f.frame_sha256 for f in frames} == expect
+    by_media = {}
+    for f in frames:
+        by_media.setdefault(f.media_id, []).append(f.frame_idx)
+    assert all(sorted(v) == [0, 1] for v in by_media.values())
+
+
 def test_multimodal_frame_sampling(spark):
     media = synthetic_media(spark, 30)
     frames = sample_video_frames(media).collect()

@@ -239,6 +239,51 @@ def test_full_section_properties_roundtrip(spark, small_corpus, tmp_path):
     assert "basic_info" in one and "yisi_info" not in one
 
 
+def test_full_mode_section_pinyin_evidence(spark):
+    """Full-fidelity mode widens has-pinyin evidence to the per-reading
+    pinyin of the unpruned sections (reference extract_guoyu.py:25-220 →
+    SURVEY §2.11): a reading that exists ONLY in the 国语辞典 section
+    yields a has-pinyin triple (and a resolvable Pinyin stub node) in
+    full mode, and is absent on the pruned hot path."""
+    from kgpipe.corpus import corpus_to_dataframes, generate_corpus
+    from kgpipe.parse.hanzi import parse_hanzi_html
+
+    corpus = generate_corpus(n_hanzi=6, n_words=4, n_idioms=3, seed=7)
+    target = next(r for r in corpus.rows if r["path"].startswith("zidian/"))
+    char = parse_hanzi_html(target["content"], target["path"])["basic_info"]["data"][
+        "character"
+    ]
+    extra = (
+        '<div class="zi-content"><div class="zi-heading main">'
+        f'<h3 class="zi-title">{char}</h3><sup>9</sup>'
+        '<span class="voice" data-voice="xq9.mp3">'
+        '<em class="py">extrapy</em> <em class="zy">ㄜˋ</em></span></div>'
+        '<div class="zi-detail-explain"><p class="cixing">名</p>'
+        '<p class="explain"><span class="no">1.</span>罕见读法。</p></div></div>'
+    )
+    # insert INSIDE the guoyu zi-contents wrapper (the </div> before
+    # zi-notes closes it)
+    marker = '</div><div class="zi-notes">注：国语辞典'
+    assert marker in target["content"]
+    target["content"] = target["content"].replace(marker, extra + marker)
+    cdf, sdf = corpus_to_dataframes(spark, corpus)
+
+    g_full = build_graph(spark, cdf, sdf, cache=False, full_hanzi_properties=True)
+    full_triples = {(r.subj, r.pred, r.obj) for r in g_full.triples.collect()}
+    assert (char, "has-pinyin", "extrapy") in full_triples
+    nodes = {
+        (r.entity_type, r.name) for r in g_full.nodes.select("entity_type", "name").collect()
+    }
+    assert ("Pinyin", "extrapy") in nodes  # endpoint stub minted — no dangling edge
+
+    g_default = build_graph(spark, cdf, sdf, cache=False)
+    default_triples = {(r.subj, r.pred, r.obj) for r in g_default.triples.collect()}
+    assert (char, "has-pinyin", "extrapy") not in default_triples
+    # readings shared with basic_info dedup away: the only delta is the
+    # section-only reading
+    assert full_triples - default_triples == {(char, "has-pinyin", "extrapy")}
+
+
 def test_replay_idempotence(spark, small_corpus, graph):
     """Running the pipeline twice and merging must equal one run
     (INSERT IGNORE / upsert semantics, SURVEY.md T2-T3)."""
