@@ -4,10 +4,11 @@ ratios. A ratio near 4 (or below, for top-k / fixed-group aggregations)
 means the plan scales linearly in the input; a super-linear ratio exposes
 O(n^2) or driver-side growth the small factor hides.
 
-The 4x input is built ONCE under bench_out/ (gitignored): fact tables are
-unioned as 4 key-shifted generations (documents get a per-generation text
-suffix so near-dup candidate structure stays realistic instead of
-collapsing into exact-duplicate clusters); dimension tables are copied.
+Both inputs are built ONCE under bench_out/ (gitignored) through the
+same writer so the file layout is comparable: fact tables are unioned as
+key-shifted generations (documents letter-permuted per generation so the
+duplicate structure mirrors the original corpus instead of every doc
+gaining near-dup siblings); dimension tables are copied.
 
 Usage: python tools/bench_sf_scale.py [cores]   (idle machine only)
 """
@@ -57,27 +58,45 @@ FACT_SHIFTS = {
 COPY_TABLES = ["nation", "region"]
 
 
-def build_scaled(spark, out_dir: str) -> None:
+def build_scaled(spark, out_dir: str, n_gens: int) -> None:
+    """Write an ``n_gens``-replicated variant of the base tables. The 1x
+    variant is written through the SAME writer as the 4x one so both
+    sides have comparable file layout — the driver testdata ships each
+    table as ONE parquet file (one scan split at 128 MB
+    maxPartitionBytes), so timing it against a multi-file 4x directory
+    would measure parallelism of the layout, not input scale."""
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
     for table, keys in FACT_SHIFTS.items():
         df = spark.read.parquet(f"{BASE}/{table}.parquet")
         gens = []
-        for g in range(GENS):
+        for g in range(n_gens):
             gen = df
             for k in keys:
                 gen = gen.withColumn(k, (F.col(k) + F.lit(g * SHIFT)).cast(df.schema[k].dataType))
             if table == "documents" and g > 0:
-                # distinct content per generation: exact-duplicate clusters
-                # across generations would make LSH pair counts quadratic in
-                # GENS instead of exercising a 4x-larger realistic corpus
-                gen = gen.withColumn("text", F.concat(F.col("text"), F.lit(f" §gen{g}")))
+                # distinct content per generation via a character
+                # permutation: a mere suffix leaves generations as
+                # NEAR-dups of each other, so every doc gains GENS-1 true
+                # near-duplicate siblings and the LSH candidate-pair
+                # output grows ~GENS² (measured ×7.1 at 4x) — that is the
+                # detector being output-sensitive to a 4x-higher dup
+                # rate, not engine super-linearity. Permuting letters
+                # changes virtually every shingle, so cross-generation
+                # docs are unrelated and the 4x corpus mirrors the
+                # original's duplicate structure.
+                perm = ["etaoinshr", "taoinshre", "aoinshret", "oinshreta"][g]
+                gen = gen.withColumn("text", F.translate(F.col("text"), "etaoinshr", perm))
             gens.append(gen)
         out = gens[0]
         for gen in gens[1:]:
             out = out.unionByName(gen)
-        out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+        # fixed file-size target so 1x and 4x differ only in file COUNT,
+        # not per-file size (both well under maxPartitionBytes)
+        out.repartition(max(n_gens * 4, 4)).write.mode("overwrite").parquet(
+            f"{out_dir}/{table}.parquet"
+        )
     for table in COPY_TABLES:
         spark.read.parquet(f"{BASE}/{table}.parquet").write.mode("overwrite").parquet(
             f"{out_dir}/{table}.parquet"
@@ -102,11 +121,14 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     for name in HEADLINE:  # warmup: codegen, python workers, file index
         _force(QUERIES[name](spark, sf_dir))
     gc.collect()
-    timings = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        _force(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    timings: dict[str, float] = {}
+    for _ in range(2):  # best-of-2: one-off GC/cleaner events add ±30%
+        for name in HEADLINE:
+            t0 = time.time()
+            _force(QUERIES[name](spark, sf_dir))
+            sec = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, sec), sec)
+        gc.collect()
     return timings
 
 
@@ -115,25 +137,41 @@ def main() -> None:
 
     from kgpipe.session import get_spark
 
+    base_dir = os.path.join(REPO, "bench_out", "sf0.1x1")
+    scaled_dir = os.path.join(REPO, "bench_out", f"sf0.1x{GENS}")
+    if not all(
+        os.path.exists(os.path.join(d, "region.parquet"))
+        for d in (base_dir, scaled_dir)
+    ):
+        # build in a throwaway session: the big shuffle/write would pollute
+        # the measurement session's heap and page cache
+        b = get_spark(app_name="sf-scale-build", master=f"local[{cores}]")
+        b.sparkContext.setLogLevel("ERROR")
+        build_scaled(b, base_dir, 1)
+        build_scaled(b, scaled_dir, GENS)
+        b.stop()
+
     spark = get_spark(app_name="sf-scale-bench", master=f"local[{cores}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    scaled_dir = os.path.join(REPO, "bench_out", f"sf0.1x{GENS}")
-    if not os.path.exists(os.path.join(scaled_dir, "region.parquet")):
-        build_scaled(spark, scaled_dir)
-
-    t1 = run_suite(spark, BASE)
+    t1 = run_suite(spark, base_dir)
     t4 = run_suite(spark, scaled_dir)
 
     stamp = datetime.now(timezone.utc).isoformat()[:19]
     lines = [
         f"## Scale-factor linearity ({stamp}Z)",
         "",
-        f"Headline ops queries at sf0.1 vs a {GENS}x key-shifted replication of the "
-        f"same tables, local[{cores}], warmup + single timed pass per scale. "
-        "Ratio ≈ 4 = linear in input; well below 4 = fixed-size output/groups "
-        "(top-k, constant group count) or per-process floors dominating; "
-        "well above 4 would expose super-linear (O(n²)/driver-side) growth.",
+        f"Headline ops queries at sf0.1 (rewritten through the same writer/"
+        f"layout) vs a {GENS}x key-shifted replication of the "
+        f"same tables (documents letter-permuted per generation so the duplicate "
+        f"structure stays that of the original corpus), local[{cores}], warmup + "
+        "best-of-2 timed passes per scale. Ratio ≈ 4 = linear in input; well below "
+        "4 = fixed-size output/groups (top-k, constant group count) or per-process "
+        "floors dominating; well above 4 would expose super-linear (O(n²)/"
+        "driver-side) growth. Note: replicating documents as near-dup *siblings* "
+        "instead (suffix-only perturbation) measured ×7.1 on dedup_minhash_lsh — "
+        "that is the detector being output-sensitive to a 4x-higher duplicate "
+        "rate (candidate pairs grow ~GENS²), not engine super-linearity.",
         "",
         "| query | sf0.1 s | 4x s | ratio |",
         "|---|---|---|---|",
