@@ -25,11 +25,16 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     per-row compute-heavy operators are not serialized on one task.
 
     The repartition moves only the RAW input rows — far cheaper than the
-    shuffles it replaces downstream. At warehouse scale input splits
-    vastly exceed cores, so this is a no-op (no exchange added).
+    shuffles it replaces downstream. At warehouse scale input files
+    vastly exceed cores, so the cheap ``inputFiles`` count short-circuits
+    without touching ``df.rdd`` (materializing the Python RDD forces a
+    full driver-side analysis of the plan); the RDD-partition check runs
+    only for few-file / in-memory inputs, where the plan is trivial.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    if len(df.inputFiles()) >= target:
+        return df  # enough file splits — no-op, no plan materialization
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
