@@ -274,6 +274,73 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 5) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# duplicated n-gram spans (exact substring dedup) + within-doc repetition
+# ---------------------------------------------------------------------------
+
+def _word_ngram_hashes(text_col: str, n: int) -> str:
+    """SQL expression: array of md5 hashes of the space-joined word
+    n-grams of ``text_col`` (1-based positions); empty array when the
+    document has fewer than n tokens. Guarded with CASE because Spark's
+    sequence(1, 0) yields a DESCENDING [1, 0], not an empty sequence."""
+    toks = f"filter(split(trim({text_col}), '\\\\s+'), t -> char_length(t) > 0)"
+    return (
+        f"CASE WHEN size({toks}) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> md5(array_join(slice({toks}, i, {n}), ' '))) END"
+    )
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame, n: int = 8, min_docs: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Exact substring-duplication detection (the hashed-n-gram form of
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better"): word n-grams occurring in ≥ ``min_docs`` DISTINCT
+    documents, emitted as per-document spans (doc_id, start, gram_hash,
+    n_docs) so a downstream pass can cut the duplicated ranges.
+
+    Scale shape: one row-local n-gram projection (zero shuffle), one
+    hash-agg on the uniform md5 gram key, one shuffle join of the spans
+    against the (much smaller) duplicated-gram set — never all-pairs,
+    never a suffix array. At 100 TB the gram table is the same size
+    class as the shingle table LSH already builds.
+    """
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(_word_ngram_hashes(text_col, n))).alias("_p", "gram_hash"),
+    ).select("doc_id", (F.col("_p") + 1).alias("start"), "gram_hash")
+    dup = (
+        grams.groupBy("gram_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    return grams.join(dup, "gram_hash").select("doc_id", "start", "gram_hash", "n_docs")
+
+
+def repetition_stats(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition (the Gopher/MassiveText quality
+    signal): total word n-grams, distinct n-grams, and repetition ratio
+    = 1 − distinct/total (0 = no repetition, → 1 for degenerate loops).
+    Fully row-local — zero shuffle, codegen'd."""
+    arr = F.expr(_word_ngram_hashes(text_col, n))
+    staged = docs.select(
+        "doc_id",
+        F.size(arr).alias("total_ngrams"),
+        F.size(F.array_distinct(arr)).alias("distinct_ngrams"),
+    )
+    ratio = F.when(F.col("total_ngrams") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0) - F.col("distinct_ngrams") / F.col("total_ngrams"), 4
+        )
+    )
+    return staged.select(
+        "doc_id", "total_ngrams", "distinct_ngrams", ratio.alias("repetition_ratio")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

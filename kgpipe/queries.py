@@ -551,6 +551,60 @@ def ngram_jaccard_consecutive(spark, sf):
     return textops.ngram_jaccard(docs, pairs)
 
 
+def _duck_ngrams(n: int) -> str:
+    """DuckDB port of textops._word_ngram_hashes: tk[i:i+n-1] is the
+    1-based inclusive n-element slice."""
+    return (
+        f"[md5(array_to_string(tk[i:i+{n - 1}], ' ')) "
+        f"FOR i IN range(1, greatest(len(tk) - {n - 1}, 0) + 1)]"
+    )
+
+
+_DUP_SPANS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0) AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, i AS start, md5(array_to_string(tk[i:i+7], ' ')) AS gram_hash
+  FROM toks, unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS r(i)
+), dup AS (
+  SELECT gram_hash, count(DISTINCT doc_id) AS n_docs FROM grams
+  GROUP BY gram_hash HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT g.doc_id, CAST(g.start AS INT) AS start, g.gram_hash, dup.n_docs
+FROM grams g JOIN dup USING (gram_hash)
+"""
+
+
+@_q("duplicate_ngram_spans", _DUP_SPANS_ORACLE)
+def duplicate_ngram_spans(spark, sf):
+    # exact substring-duplication spans (Lee et al. 2022 shape): word
+    # 8-grams shared by >= 2 distinct documents
+    return textops.duplicate_ngram_spans(_t(spark, sf, "documents"), n=8, min_docs=2)
+
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0) AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, CASE WHEN len(tk) < 3 THEN [] ELSE {_duck_ngrams(3)} END AS garr FROM toks
+)
+SELECT doc_id,
+  CAST(len(garr) AS INT) AS total_ngrams,
+  CAST(len(list_distinct(garr)) AS INT) AS distinct_ngrams,
+  CASE WHEN len(garr) = 0 THEN 0.0
+       ELSE round(1.0 - len(list_distinct(garr)) * 1.0 / len(garr), 4) END AS repetition_ratio
+FROM grams
+"""
+
+
+@_q("text_repetition_stats", _REPETITION_ORACLE)
+def text_repetition_stats(spark, sf):
+    # within-document repetition ratio (Gopher-style quality signal)
+    return textops.repetition_stats(_t(spark, sf, "documents"), n=3)
+
+
 _SIMHASH_ORACLE = """
 WITH toks AS (
   SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM (

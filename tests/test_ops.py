@@ -72,6 +72,30 @@ def test_simhash_similarity_structure(docs):
     assert hamming(out[1], out[3]) < hamming(out[1], out[4])
 
 
+def test_duplicate_ngram_spans(spark):
+    """Cross-document duplicated word n-grams come back as per-doc spans
+    with the sharing-document count; unshared grams are dropped."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y a b c"), (3, "p q r s t")],
+        "doc_id long, text string",
+    )
+    out = textops.duplicate_ngram_spans(docs, n=3, min_docs=2).collect()
+    spans = {(r.doc_id, r.start): r.n_docs for r in out}
+    assert spans == {(1, 1): 2, (2, 3): 2}  # the shared "a b c"
+
+
+def test_repetition_stats(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c d"), (3, "a")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.repetition_stats(docs, n=3).collect()}
+    # 3-grams of doc 1: "a b a","b a b","a b a","b a b" → 4 total, 2 distinct
+    assert (out[1].total_ngrams, out[1].distinct_ngrams, out[1].repetition_ratio) == (4, 2, 0.5)
+    assert out[2].repetition_ratio == 0.0
+    assert (out[3].total_ngrams, out[3].repetition_ratio) == (0, 0.0)
+
+
 def test_language_id(docs):
     out = {r.doc_id: r.lang_pred for r in textops.language_id(docs).collect()}
     assert out[1] == "en" and out[5] == "zh" and out[4] == "other"
