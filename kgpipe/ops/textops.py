@@ -341,6 +341,51 @@ def repetition_stats(
 
 
 # ---------------------------------------------------------------------------
+# end-to-end corpus cleaning (the training-data filter product)
+# ---------------------------------------------------------------------------
+
+def clean_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    max_repetition: float = 0.5,
+    rep_n: int = 3,
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """End-to-end training-data filter: composes quality scoring,
+    within-document repetition, and near-dup cluster survivorship into
+    one per-document decision — (doc_id, quality, repetition_ratio,
+    is_survivor, keep). A document is kept iff it clears the quality
+    floor, the repetition ceiling, AND is the deterministic survivor of
+    its near-duplicate cluster.
+
+    Scale shape: the three signal stages are independent — two fully
+    row-local, one LSH-bucketed (never all-pairs) — and meet on the
+    uniform doc_id key; at warehouse scale all sides co-partition on
+    doc_id so the composition is one co-located join tree, and each
+    stage's own scan prunes to the columns it reads.
+    """
+    q = quality_score(docs).select("doc_id", "quality")
+    r = repetition_stats(docs, n=rep_n).select("doc_id", "repetition_ratio")
+    c = dedup_clusters(docs, k=k, num_hashes=num_hashes, bands=bands).select(
+        "doc_id", "is_survivor"
+    )
+    keep = (
+        (F.col("quality") >= min_quality)
+        & (F.col("repetition_ratio") <= max_repetition)
+        & F.col("is_survivor")
+    )
+    return (
+        q.join(r, "doc_id")
+        .join(c, "doc_id")
+        .select(
+            "doc_id", "quality", "repetition_ratio", "is_survivor", keep.alias("keep")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -700,6 +700,28 @@ def doc_fingerprint(spark, sf):
     return textops.fingerprint(_t(spark, sf, "documents"))
 
 
+@_q("corpus_clean_decisions")
+def corpus_clean_decisions(spark, sf):
+    # the end-to-end training-data filter: quality + repetition +
+    # near-dup survivorship composed into one keep decision per document
+    return textops.clean_corpus(_t(spark, sf, "documents"))
+
+
+@_lazy_oracle("corpus_clean_decisions")
+def _corpus_clean_decisions_oracle() -> str:
+    """Composes the three stage oracles (each already hash-verified on
+    its own) into the same join + decision — the recursive-CTE cluster
+    closure nests as a derived table."""
+    return f"""
+WITH ql AS ({_QUALITY_ORACLE}),
+rep AS ({_REPETITION_ORACLE}),
+clus AS (SELECT * FROM ({_CLUSTER_ORACLE}))
+SELECT ql.doc_id, ql.quality, rep.repetition_ratio, clus.is_survivor,
+  (ql.quality >= 0.3 AND rep.repetition_ratio <= 0.5 AND clus.is_survivor) AS keep
+FROM ql JOIN rep USING (doc_id) JOIN clus USING (doc_id)
+"""
+
+
 # ===========================================================================
 # similarity search (embeddings)
 # ===========================================================================

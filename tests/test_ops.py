@@ -96,6 +96,20 @@ def test_repetition_stats(spark):
     assert (out[3].total_ngrams, out[3].repetition_ratio) == (0, 0.0)
 
 
+def test_clean_corpus_decisions(docs):
+    """The composed filter agrees with its own stage columns, and known
+    cases land right: the exact duplicate (doc 2) is not a survivor so
+    never kept; the empty doc fails the quality floor."""
+    out = {r.doc_id: r for r in textops.clean_corpus(docs).collect()}
+    assert len(out) == 6
+    for r in out.values():
+        assert r.keep == (
+            r.quality >= 0.3 and r.repetition_ratio <= 0.5 and r.is_survivor
+        )
+    assert out[2].is_survivor is False and out[2].keep is False  # exact dup of 1
+    assert out[6].keep is False  # empty text → quality floor
+
+
 def test_language_id(docs):
     out = {r.doc_id: r.lang_pred for r in textops.language_id(docs).collect()}
     assert out[1] == "en" and out[5] == "zh" and out[4] == "other"
