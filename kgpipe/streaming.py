@@ -153,6 +153,7 @@ def run_graph_stream(
     warehouse_root: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 8,
+    full_hanzi_properties: bool = False,
 ) -> None:
     """Full-graph streaming ingest: every edge family, not just mentions.
 
@@ -212,7 +213,8 @@ def run_graph_stream(
         )
         dim = known.unionByName(batch_chars).distinct()
         g = build_graph(
-            spark, batch_df, seeds, run_id=f"stream-{batch_id}", hanzi_dim=dim
+            spark, batch_df, seeds, run_id=f"stream-{batch_id}", hanzi_dim=dim,
+            full_hanzi_properties=full_hanzi_properties,
         )
         wh.nodes.merge_best(
             g.nodes,

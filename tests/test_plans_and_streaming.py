@@ -201,6 +201,23 @@ def test_full_graph_stream_matches_batch(spark, small_corpus, tmp_path):
 
     assert table_bytes(dim_table) < table_bytes(wh.nodes)
 
+    # full-fidelity streaming ingest (S11 pass-through): the merged Hanzi
+    # nodes carry all section blobs, same as the batch full mode
+    import json
+
+    wh2_root = str(tmp_path / "graph_wh_full")
+    run_graph_stream(
+        spark, src, sdf, wh2_root, str(tmp_path / "gckpt_full"),
+        max_files_per_trigger=4, full_hanzi_properties=True,
+    )
+    props = json.loads(
+        Warehouse(wh2_root).nodes.read(spark)
+        .where((F.col("entity_type") == "Hanzi") & F.col("crawled"))
+        .first()
+        .properties
+    )
+    assert "yisi_info" in props and "guoyu_info" in props and "evolution_data" in props
+
 
 def test_stateful_streaming_dedup_across_batches(spark, tmp_path):
     """applyInPandasWithState first-occurrence filter: a key replayed in a
