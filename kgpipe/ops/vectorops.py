@@ -65,6 +65,34 @@ def _plane(p: int, dim: int):
     )
 
 
+def derive_n_planes(
+    n_rows: int,
+    target_bucket: int = 1024,
+    min_planes: int = 8,
+    max_planes: int = 24,
+) -> int:
+    """Size-aware LSH plane count: the smallest ``p`` with an EXPECTED
+    bucket population ``n_rows / 2**p`` at or under ``target_bucket``,
+    clamped to ``[min_planes, max_planes]``.
+
+    Why this exists: a FIXED plane count gives a fixed bucket space, so
+    per-bucket population grows linearly with the corpus and the
+    per-bucket quadratic pair join grows as (n/2**p)² — a scale-killer at
+    10^9+ vectors. Growing p with log2(n) keeps every bucket's pair work
+    bounded by ~target_bucket² regardless of corpus size. The clamp
+    bounds both ends: min keeps recall sane on tiny corpora (fewer
+    planes = coarser buckets = more candidates, never fewer), and max=24
+    (16.7M buckets) covers ~1.7×10^10 vectors at the default target
+    while keeping the signature expression a bounded-size codegen unit.
+    """
+    import math
+
+    if n_rows <= 0:
+        return min_planes
+    raw = math.ceil(math.log2(max(n_rows / target_bucket, 1.0)))
+    return min(max(raw, min_planes), max_planes)
+
+
 def hyperplane_bucket(vec_col="embedding", n_planes: int = 8, dim: int = 32):
     """Column expression: deterministic random-hyperplane LSH bucket
     (bit p = sign of dot with plane p) — a pure per-row projection, so
@@ -83,22 +111,52 @@ def cosine_near_dup(
     threshold: float = 0.95,
     block_col: str | None = None,
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int | None = None,
+    target_bucket: int = 1024,
+    min_planes: int = 8,
+    max_planes: int = 24,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
     Candidate generation blocks on ``block_col`` when given (an existing
     cluster/label column); by DEFAULT it blocks on the deterministic
     random-hyperplane LSH bucket — computed as a zero-shuffle projection
-    (``hyperplane_bucket``) — the key that exists on ANY embedding corpus
-    and keeps the quadratic pair space per-bucket at scale. The cosine is
-    computed only for candidates. Returns (vec_a, vec_b, cosine) with
-    vec_a < vec_b and cosine ≥ threshold (rounded 4 dp).
+    (``hyperplane_bucket``) — the key that exists on ANY embedding
+    corpus. The default plane count is SIZE-AWARE (``derive_n_planes``):
+    it grows with log2(corpus size) so expected bucket population stays
+    at or under ``target_bucket`` and the per-bucket quadratic pair join
+    stays bounded as the corpus grows — a fixed plane count would make
+    per-bucket pair work grow as (n/2**p)². Pass ``n_planes`` explicitly
+    to pin the bucket space (reproducible outputs across differently
+    sized corpora, e.g. the correctness oracle).
+
+    Deriving the default costs one metadata-cheap aggregate job
+    (count + first vector, combined); passing both ``n_planes`` and
+    ``dim`` skips it entirely. An empty input returns an empty result
+    frame. The cosine is computed only for candidates. Returns
+    (vec_a, vec_b, cosine) with vec_a < vec_b and cosine ≥ threshold
+    (rounded 4 dp).
     """
     if block_col is None:
-        if dim is None:
-            dim = len(emb.select(vec_col).first()[0])
+        if dim is None or n_planes is None:
+            probe = emb.agg(
+                F.count(F.lit(1)).alias("n"), F.first(F.col(vec_col)).alias("v")
+            ).first()
+            if probe.n == 0:
+                # empty corpus: no pairs; derive the output types from the
+                # input frame instead of firing more jobs
+                return emb.select(
+                    F.col("vec_id").alias("vec_a"),
+                    F.col("vec_id").alias("vec_b"),
+                    F.lit(0.0).alias("cosine"),
+                ).where(F.lit(False))
+            if dim is None:
+                dim = len(probe.v)
+            if n_planes is None:
+                n_planes = derive_n_planes(
+                    probe.n, target_bucket, min_planes, max_planes
+                )
         emb = emb.withColumn(
             "_block", hyperplane_bucket(vec_col, n_planes=n_planes, dim=dim)
         )

@@ -799,8 +799,12 @@ def dedup_embedding_lsh_blocked(spark, sf):
     # the DEFAULT blocking path: candidates share a deterministic
     # random-hyperplane LSH bucket — the key that exists on any embedding
     # corpus (no label column required), computed as a zero-shuffle
-    # projection
-    return vectorops.cosine_near_dup(_t(spark, sf, "embeddings"), threshold=0.2)
+    # projection. n_planes is PINNED here so the oracle SQL (which
+    # inlines the 8 plane constants) matches at any sf; production calls
+    # omit it and get the size-aware default (vectorops.derive_n_planes)
+    return vectorops.cosine_near_dup(
+        _t(spark, sf, "embeddings"), threshold=0.2, n_planes=8
+    )
 
 
 @_lazy_oracle("dedup_embedding_lsh_blocked")

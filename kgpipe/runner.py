@@ -39,12 +39,22 @@ def prepare_retry(spark, wh, corpus_df, base_run_id: str):
     return restricted, f"{base_run_id}-retry-{prior_retries + 1}"
 
 
-def finish_retry(spark, wh, retry_run_id: str) -> None:
-    """After a retry completes: collapse the errors table to the rows
-    THIS retry re-recorded (pages that still fail) — resolved keys drop
-    out; a crash before this point leaves the full worklist intact."""
-    still_failing = wh.errors.read(spark).where(F.col("run_id") == retry_run_id)
-    wh.errors.overwrite(still_failing)
+def finish_retry(spark, wh, retry_run_id: str, retried_corpus) -> None:
+    """After a retry completes: drop the RETRIED keys that resolved, keep
+    everything else. Kept rows = rows whose key was NOT in this retry's
+    worklist (errors recorded by other writers sharing the warehouse —
+    e.g. a concurrent stream run — or failed keys absent from the retry
+    corpus) plus rows this retry re-recorded (pages that still fail).
+    Collapsing the whole table to the retry's run_id (the previous
+    behavior) silently discarded those foreign rows from the worklist.
+    A crash before this point leaves the full worklist intact."""
+    retried_keys = retried_corpus.select(F.col("path").alias("key")).distinct()
+    errors = wh.errors.read(spark)
+    kept_foreign = errors.join(retried_keys, "key", "left_anti").where(
+        F.col("run_id") != retry_run_id
+    )
+    still_failing = errors.where(F.col("run_id") == retry_run_id)
+    wh.errors.overwrite(kept_foreign.unionByName(still_failing))
 
 
 def main() -> None:
@@ -120,7 +130,7 @@ def main() -> None:
         full_hanzi_properties=args.full_sections,
     )
     if args.retry_errors:
-        finish_retry(spark, wh, run_id)
+        finish_retry(spark, wh, run_id, corpus_df)
 
     if args.compact:
         for table in (wh.nodes, wh.edges):

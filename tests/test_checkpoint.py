@@ -147,20 +147,36 @@ def test_retry_errors_converges(spark, small_corpus, tmp_path):
 
     # retry 1: the page is STILL corrupt — it must re-record itself and
     # stay on the worklist (truncate-before-run would have lost it)
+    # a FOREIGN error row (another writer sharing the warehouse, e.g. a
+    # stream run, recording a key outside this retry's worklist) must
+    # survive every finish_retry rewrite — the round-3 collapse-to-run_id
+    # behavior silently dropped it from the worklist
+    foreign = spark.createDataFrame(
+        [("stream-7", "zidian", "zidian/never-crawled", "boom")],
+        "run_id string, partition_key string, key string, error string",
+    )
+    wh.errors.append(foreign)
+
     retry_corpus, retry_id = prepare_retry(spark, wh, corrupt, "run-1")
     assert retry_id == "run-1-retry-1"
     wh = run_incremental(spark, retry_corpus, sdf, root, run_id=retry_id, n_buckets=2)
-    finish_retry(spark, wh, retry_id)
+    finish_retry(spark, wh, retry_id, retry_corpus)
     assert wh.errors.read(spark).where(F.col("key") == bad_path).count() == 1
+    assert (
+        wh.errors.read(spark).where(F.col("key") == "zidian/never-crawled").count() == 1
+    )
 
     # retry 2: page fixed; the fresh counter run_id means every bucket is
-    # genuinely pending again
+    # genuinely pending again. The foreign key is on the worklist but
+    # absent from the corpus — not retried, so it must still survive.
     retry_corpus, retry_id = prepare_retry(spark, wh, cdf, "run-1")
     assert retry_id == "run-1-retry-2"
     assert pending_units(wh, spark, 2, run_id=retry_id) == [0, 1]
     wh = run_incremental(spark, retry_corpus, sdf, root, run_id=retry_id, n_buckets=2)
-    finish_retry(spark, wh, retry_id)
-    assert wh.errors.read(spark).count() == 0
+    finish_retry(spark, wh, retry_id, retry_corpus)
+    remaining = wh.errors.read(spark)
+    assert remaining.count() == 1  # only the foreign (never-retried) row
+    assert remaining.first().key == "zidian/never-crawled"
 
     def node_set(w):
         return {

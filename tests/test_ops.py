@@ -213,6 +213,57 @@ def test_cosine_near_dup_lsh_blocking_superset(spark, emb):
     assert found == expected and (0, 1) in found
 
 
+def test_derive_n_planes_size_aware():
+    from kgpipe.ops.vectorops import derive_n_planes
+
+    assert derive_n_planes(500) == 8  # below target: floor keeps recall sane
+    assert derive_n_planes(0) == 8  # degenerate input: floor
+    assert derive_n_planes(2_000_000) == 11  # ceil(log2(2e6/1024))
+    assert derive_n_planes(10**10) == 24  # clamp: bounded codegen/bucket space
+    # the invariant the fixed-8-plane default lacked: expected bucket
+    # population n/2^p stays ≤ target until the clamp ceiling
+    for n in (10**4, 10**6, 10**8, 2 * 10**9):
+        p = derive_n_planes(n)
+        assert n / 2**p <= 1024 or p == 24
+
+
+def test_lsh_bucket_population_tracks_target(spark):
+    """Scale property of the size-aware default: growing the corpus 4x
+    raises the derived plane count so bucket population stays at the
+    target instead of growing linearly (which would make the per-bucket
+    quadratic pair join the scale bottleneck)."""
+    import numpy as np
+
+    from kgpipe.ops.vectorops import derive_n_planes, hyperplane_signatures
+
+    rng = np.random.default_rng(7)
+
+    def mk(n):
+        rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    target = 64
+    stats = {}
+    for n in (512, 2048):
+        p = derive_n_planes(n, target_bucket=target, min_planes=1, max_planes=24)
+        sig = hyperplane_signatures(mk(n), n_planes=p, dim=16)
+        mx = sig.groupBy("bucket").count().agg(F.max("count")).first()[0]
+        stats[n] = (p, mx)
+    assert stats[2048][0] > stats[512][0]  # planes grow with n
+    for n, (p, mx) in stats.items():
+        assert n / 2**p <= target  # expected population bounded by target
+        assert mx <= 6 * target  # realized skew stays the same order
+
+
+def test_cosine_near_dup_empty_input(spark):
+    """Empty corpus on the default (size-derived) path returns an empty
+    pair frame instead of raising on the dim probe."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = vectorops.cosine_near_dup(empty, threshold=0.5)
+    assert out.columns == ["vec_a", "vec_b", "cosine"]
+    assert out.count() == 0
+
+
 def test_l2_norms(emb):
     out = {r.vec_id: r.l2_norm for r in vectorops.l2_norms(emb).collect()}
     assert out[0] == 1.0 and out[3] == 1.0

@@ -79,6 +79,58 @@ def test_signature_computation_is_shuffle_free(spark):
     assert plans.count_exchanges(textops.dedup_minhash_lsh(docs)) <= base + 3
 
 
+def test_duplicate_ngram_spans_participant_pruned(spark):
+    """Round-3 review item: the positional gram explode must evaluate
+    once, over PARTICIPANT-pruned documents (semi-join against the docs
+    owning a duplicated gram) — the corpus-wide explode happens exactly
+    once, materialized behind the localCheckpoint barrier."""
+    from kgpipe.ops import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plans.physical_plan(textops.duplicate_ngram_spans(docs, n=8))
+    assert plan.count("posexplode") == 1, plan
+    assert "LeftSemi" in plan, plan
+    # correctness unchanged: spans only for docs whose gram occurs in
+    # >= min_docs distinct documents (spot-check one known duplicate)
+    out = textops.duplicate_ngram_spans(docs, n=2).collect()
+    assert all(r.n_docs >= 2 for r in out)
+
+
+def _parquet_text_scans(plan: str) -> int:
+    import re
+
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    return sum(
+        1
+        for b in blocks
+        if re.match(r"\(\d+\) Scan parquet", b) and "text:" in b
+    )
+
+
+def test_clean_corpus_fused_two_text_scans(spark):
+    """clean_corpus reads the document TEXT exactly twice: once in the
+    fused row-local signal projection (quality + repetition sharing the
+    tokenize — previously two separate scans), once in the LSH banding.
+    The banding scan runs inside the eagerly-materialized CC stage of
+    dedup_clusters, so the FINAL plan shows exactly ONE text scan (the
+    fused signals) plus a column-pruned doc_id-only scan — three text
+    scans would show two here."""
+    from kgpipe.ops import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plans.physical_plan(textops.clean_corpus(docs))
+    assert _parquet_text_scans(plan) == 1, plan
+    # and the fusion preserves the composed semantics value-for-value
+    q = {r.doc_id: r.quality for r in textops.quality_score(docs).collect()}
+    rep = {
+        r.doc_id: r.repetition_ratio
+        for r in textops.repetition_stats(docs, n=3).collect()
+    }
+    for row in textops.clean_corpus(docs).collect():
+        assert row.quality == q[row.doc_id]
+        assert row.repetition_ratio == rep[row.doc_id]
+
+
 def test_codegen_covers_native_ops(spark):
     df = QUERIES["tpch_q1_pricing"](spark, SF_DIR)
     assert plans.count_codegen_stages(df) >= 1
