@@ -164,11 +164,23 @@ def run_graph_stream(
 
     composed-of semantics match the reference's INSERT-time behavior
     (chengyu_mysql.py:197-221: a term links only characters already in
-    the DB): the dimension for a micro-batch is the warehouse's crawled
-    Hanzi nodes UNION the batch's own valid characters. A term page that
-    arrives before its characters misses those edges exactly as the
-    reference's crawler does; re-driving the term (retry / new run) picks
-    them up.
+    the DB): the dimension for a micro-batch is the dedicated hanzi_dim
+    table — seeded once from the warehouse's crawled Hanzi nodes when it
+    is empty but nodes exist (a warehouse populated by the batch runner,
+    or by a stream run that predates hanzi_dim) — UNION the batch's own
+    valid characters. A term page that arrives before its characters
+    misses those edges exactly as the reference's crawler does;
+    re-driving the term (retry / new run) picks them up.
+
+    Drain → finalize contract: the per-batch merges record RAW edges;
+    global variant-cluster canonicalization needs the COMPLETE edge set
+    (pipeline.canonicalize_edges — clusters can span micro-batches), so a
+    drained stream is finished exactly like the batch runner: call
+    ``kgpipe.checkpoint.finalize(wh, spark)`` after ``awaitTermination``
+    returns. A variant chain split across micro-batches canonicalizes
+    identically to the batch pipeline (tested:
+    test_full_graph_stream_matches_batch isolates a chain head in its own
+    micro-batch).
     """
     import os
 
@@ -191,6 +203,21 @@ def run_graph_stream(
     hanzi_dim_table = SnapshotTable(
         os.path.join(warehouse_root, "hanzi_dim"), schemas.HANZI_DIM_SCHEMA
     )
+    # one-time backfill: a warehouse that predates hanzi_dim (batch-runner
+    # populated, or streamed before the dim table existed) has crawled
+    # Hanzi nodes but an empty dim — without seeding, term pages arriving
+    # after those characters would PERMANENTLY miss composed-of edges.
+    # One O(nodes) read, only when the dim is empty; thereafter the
+    # per-batch dim read stays O(|alphabet|).
+    if hanzi_dim_table.read(spark).first() is None:
+        crawled_hanzi = (
+            wh.nodes.read(spark)
+            .where((_F.col("entity_type") == "Hanzi") & _F.col("crawled"))
+            .select("name")
+            .distinct()
+        )
+        if crawled_hanzi.first() is not None:
+            hanzi_dim_table.append(crawled_hanzi)
     parse_basic = make_parse_hanzi_udf(("basic_info",))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

@@ -198,7 +198,16 @@ def test_full_graph_stream_matches_batch(spark, small_corpus, tmp_path):
     """run_graph_stream over the corpus arriving as files (zidian first —
     the order where the reference's insert-time composed-of semantics
     lose nothing) must produce the batch pipeline's full canonical triple
-    set after finalize."""
+    set after finalize.
+
+    The zidian pages are deliberately split so a VARIANT CHAIN spans
+    micro-batches: the chain head (a character whose variant target
+    itself lists a variant) arrives in its own batch, the rest later —
+    the drain→finalize contract must canonicalize the cross-batch chain
+    identically to the batch pipeline, where finalize's CC sees the
+    complete edge set at once."""
+    import re
+
     from kgpipe.checkpoint import finalize
     from kgpipe.corpus import corpus_to_dataframes
     from kgpipe.materialize import Warehouse
@@ -207,9 +216,22 @@ def test_full_graph_stream_matches_batch(spark, small_corpus, tmp_path):
 
     cdf, sdf = corpus_to_dataframes(spark, small_corpus)
     src = str(tmp_path / "graph_src")
-    # characters arrive first, then the term pages
-    cdf.where(F.col("path").startswith("zidian/")).coalesce(1).write.mode(
+    zi = cdf.where(F.col("path").startswith("zidian/"))
+    # locate a chain head: its 异体字 link target's page lists a variant too
+    pages = {r.path: r.content for r in zi.collect()}
+    var = {
+        p: [f"zidian/zi-{m}" for m in re.findall(r'href="/zidian/zi-(\d+)"', c)]
+        for p, c in pages.items()
+    }
+    chain_head = next(p for p, vs in var.items() if any(var.get(t) for t in vs))
+    # batch 1: chain head alone (edge head–mid); batch 2: the rest of the
+    # characters (edge mid–tail lands in a DIFFERENT micro-batch); then
+    # the term pages
+    zi.where(F.col("path") == chain_head).coalesce(1).write.mode(
         "overwrite"
+    ).parquet(src)
+    zi.where(F.col("path") != chain_head).coalesce(1).write.mode(
+        "append"
     ).parquet(src)
     cdf.where(~F.col("path").startswith("zidian/")).coalesce(2).write.mode(
         "append"
@@ -269,6 +291,43 @@ def test_full_graph_stream_matches_batch(spark, small_corpus, tmp_path):
         .properties
     )
     assert "yisi_info" in props and "guoyu_info" in props and "evolution_data" in props
+
+
+def test_stream_seeds_hanzi_dim_from_preexisting_warehouse(
+    spark, small_corpus, tmp_path
+):
+    """Round-3 ADVICE: a warehouse populated by the BATCH runner has
+    crawled Hanzi nodes but no hanzi_dim table; a stream run over term
+    pages arriving later must backfill the dim once and still link
+    composed-of edges to those pre-existing characters."""
+    from kgpipe.checkpoint import run_incremental
+    from kgpipe.corpus import corpus_to_dataframes
+    from kgpipe.materialize import Warehouse
+    from kgpipe.streaming import run_graph_stream
+
+    cdf, sdf = corpus_to_dataframes(spark, small_corpus)
+    root = str(tmp_path / "pre_wh")
+    # batch phase: character pages only — no terms, so no composed-of yet
+    run_incremental(
+        spark,
+        cdf.where(F.col("path").startswith("zidian/")),
+        sdf,
+        root,
+        run_id="batch-1",
+        n_buckets=2,
+    )
+    wh = Warehouse(root)
+    assert (
+        wh.edges.read(spark).where(F.col("rel_type") == "composed-of").count() == 0
+    )
+    # stream phase: the term pages arrive AFTER the warehouse pre-exists
+    src = str(tmp_path / "late_terms")
+    cdf.where(~F.col("path").startswith("zidian/")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    run_graph_stream(spark, src, sdf, root, str(tmp_path / "ck_seed"))
+    composed = wh.edges.read(spark).where(F.col("rel_type") == "composed-of")
+    assert composed.count() > 0  # dim was seeded from wh.nodes, not empty
 
 
 def test_stateful_streaming_dedup_across_batches(spark, tmp_path):
