@@ -62,6 +62,33 @@ def _decode_image_stub(payload: bytes, strict: bool) -> tuple[int, int, str]:
     return (64 + h[0] % 64, 64 + h[1] % 64, ["png", "jpeg", "webp"][h[2] % 3])
 
 
+def pil_image_decoder():
+    """Real-codec autodetect: a PIL-backed ``decode(bytes) -> (width,
+    height, format)`` callable when PIL is importable, else None.
+
+    Used as the DEFAULT image decoder by :func:`image_metadata` when
+    present (detected driver-side at operator construction; cloudpickle
+    ships the callable to executors). Bytes PIL cannot parse fall back to
+    the deterministic stub metadata so pipelines over synthetic/corrupt
+    payloads stay total and reproducible — a deployment that wants hard
+    failures injects its own raising decoder via ``decode=``.
+    """
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    def decode(data: bytes) -> tuple[int, int, str]:
+        try:
+            with Image.open(io.BytesIO(data)) as im:
+                return (int(im.width), int(im.height), (im.format or "").lower())
+        except Exception:
+            return _decode_image_stub(data, strict=False)
+
+    return decode
+
+
 def image_metadata(
     media: DataFrame, strict: bool = False, decode=None
 ) -> DataFrame:
@@ -71,8 +98,18 @@ def image_metadata(
     ``decode``: dependency-injected codec ``callable(bytes) -> (width,
     height, format)`` — a deployment with PIL/opencv wires its decoder in
     here without editing the operator (cloudpickle ships the callable to
-    executors with the UDF). Default: the deterministic stub, or
-    NotImplementedError under ``strict``."""
+    executors with the UDF). When omitted, a PIL decoder is autodetected
+    (``pil_image_decoder``); absent PIL, the deterministic stub applies —
+    or NotImplementedError under ``strict``. ``strict`` contracts with
+    the stub path only, so combining it with an injected/autodetected
+    real codec is ambiguous and raises ValueError."""
+    if strict and decode is not None:
+        raise ValueError(
+            "strict=True is the no-codec contract (raise instead of fake "
+            "metadata); it cannot combine with an injected decode callable"
+        )
+    if decode is None and not strict:
+        decode = pil_image_decoder()  # None when PIL is absent → stub
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -120,7 +157,13 @@ def sample_video_frames(
     list[bytes]`` returning the sampled frame payloads — a deployment
     with a real video library wires it in here. Default STUB codec:
     'frames' are deterministic byte slices (or NotImplementedError under
-    ``strict``)."""
+    ``strict``). As with ``image_metadata``, ``strict`` is the no-codec
+    contract — combining it with an injected decode raises ValueError."""
+    if strict and decode is not None:
+        raise ValueError(
+            "strict=True is the no-codec contract; it cannot combine with "
+            "an injected decode callable"
+        )
 
     def stub_frames(data: bytes, n: int) -> list:
         if strict:

@@ -213,6 +213,87 @@ def ivf_assign(
     return emb.select("vec_id", vec_col, (-best["negid"]).alias("centroid_id"))
 
 
+def _pycos(a: list[float], b: list[float]) -> float:
+    import math
+
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return round(d / (na * nb), 6) if na > 0 and nb > 0 else 0.0
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    sample_size: int = 256,
+    iters: int = 4,
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic sampled k-means for IVF coarse quantization — the
+    trained replacement for the first-k-vectors stand-in, which gives no
+    cell-balance guarantee on clustered real corpora (cell skew is the
+    IVF failure mode: one hot cell turns the probe back into a scan).
+
+    Sample = the ``sample_size`` vectors with the smallest
+    md5(vec_id-as-string) — a deterministic, arrival-order-free uniform
+    sample, fetched with one narrow TakeOrdered (bounded driver data; no
+    RNG state, identical on any cluster). Init = the first ``k`` sample
+    vectors in that md5 order. Lloyd iterations run driver-side on the
+    bounded sample in pure Python with a FIXED member order, and each
+    centroid coordinate is rounded at 6 dp per iteration, so the result
+    is a pure function of the data. Assignment ties break to the lowest
+    centroid id, matching ``ivf_assign``. Empty cells keep their previous
+    centroid. Returns [(cid, vec)] with cid = 0..k-1.
+
+    At 100 TB the sample fetch is a top-``sample_size`` over a narrow
+    (hash, id, vec) projection and the k-means touches only the sample —
+    training cost is independent of corpus size.
+    """
+    rows = (
+        emb.select("vec_id", vec_col)
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(sample_size)
+        .collect()
+    )
+    sample = [[float(x) for x in r[vec_col]] for r in rows]
+    if not sample:
+        return []
+    k = min(k, len(sample))
+    cents = [list(v) for v in sample[:k]]
+    for _ in range(iters):
+        members: list[list[list[float]]] = [[] for _ in range(k)]
+        for vec in sample:  # fixed order: the md5 sample order
+            best = max(range(k), key=lambda c: (_pycos(vec, cents[c]), -c))
+            members[best].append(vec)
+        for c in range(k):
+            if not members[c]:
+                continue  # empty cell: keep the previous centroid
+            dim = len(members[c][0])
+            n = len(members[c])
+            cents[c] = [
+                round(sum(vec[i] for vec in members[c]) / n, 6) for i in range(dim)
+            ]
+    return [(c, cents[c]) for c in range(k)]
+
+
+def _ivf_probe_topk(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int,
+    n_probe: int,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF probe: pick the ``n_probe`` cells nearest the query
+    driver-side (tiny centroid list), assign + prune corpus-side."""
+    probe = sorted(centroids, key=lambda c: (-_pycos(query_vec, c[1]), c[0]))[:n_probe]
+    probe_ids = [cid for cid, _ in probe]
+    assigned = ivf_assign(emb, centroids, vec_col=vec_col)
+    candidates = assigned.where(F.col("centroid_id").isin(probe_ids))
+    return cosine_topk(candidates, query_vec, k=k, vec_col=vec_col)
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -220,39 +301,50 @@ def ann_ivf_topk(
     n_centroids: int = 8,
     n_probe: int = 2,
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus, probe only the ``n_probe``
     centroid cells nearest the query, exact cosine top-k within them.
 
-    The deterministic centroid set is the first ``n_centroids`` vectors
-    by vec_id (a stand-in for trained k-means centroids — the plan shape
-    is identical). Probe-cell selection happens driver-side on the tiny
-    centroid list; the corpus-side work is one narrow assignment pass +
-    a pruned top-k.
+    ``centroids`` defaults to the first ``n_centroids`` vectors by vec_id
+    — the deterministic stand-in the SQL oracle can replicate (the plan
+    shape is identical either way). Production path: pass
+    ``train_ivf_centroids(emb)`` (or call ``ann_ivf_trained_topk``) —
+    trained cells balance populations on clustered corpora, which the
+    first-k stand-in cannot guarantee. Probe-cell selection happens
+    driver-side on the tiny centroid list; the corpus-side work is one
+    narrow assignment pass + a pruned top-k.
     """
-    import math
+    if centroids is None:
+        rows = (
+            emb.where(F.col("vec_id") < n_centroids)
+            .select("vec_id", vec_col)
+            .collect()
+        )
+        centroids = sorted((r.vec_id, [float(x) for x in r[vec_col]]) for r in rows)
+    return _ivf_probe_topk(emb, centroids, query_vec, k, n_probe, vec_col)
 
-    rows = (
-        emb.where(F.col("vec_id") < n_centroids)
-        .select("vec_id", vec_col)
-        .collect()
+
+def ann_ivf_trained_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    sample_size: int = 256,
+    iters: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over TRAINED centroids (``train_ivf_centroids``) — the
+    recommended scale path. Gated by the recall + cell-balance pytest
+    (test_ivf_trained_centroids) rather than a SQL oracle: iterative
+    float k-means is not engine-portable SQL, and the probe/assignment
+    plan it shares with ``ann_ivf_topk`` is already oracle-proven there.
+    """
+    cents = train_ivf_centroids(
+        emb, k=n_centroids, sample_size=sample_size, iters=iters, vec_col=vec_col
     )
-    centroids = sorted((r.vec_id, [float(x) for x in r[vec_col]]) for r in rows)
-
-    def cos(a, b):
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return round(d / (na * nb), 6)
-
-    probe = sorted(
-        centroids, key=lambda c: (-cos(query_vec, c[1]), c[0])
-    )[:n_probe]
-    probe_ids = [cid for cid, _ in probe]
-
-    assigned = ivf_assign(emb, centroids, vec_col=vec_col)
-    candidates = assigned.where(F.col("centroid_id").isin(probe_ids))
-    return cosine_topk(candidates, query_vec, k=k, vec_col=vec_col)
+    return _ivf_probe_topk(emb, cents, query_vec, k, n_probe, vec_col)
 
 
 def ann_lsh_topk(

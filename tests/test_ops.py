@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from kgpipe.ops import textops, vectorops
 from kgpipe.ops.multimodal import (
+    MEDIA_SCHEMA,
     image_metadata,
     sample_video_frames,
     synthetic_media,
@@ -255,6 +256,62 @@ def test_lsh_bucket_population_tracks_target(spark):
         assert mx <= 6 * target  # realized skew stays the same order
 
 
+def test_ivf_trained_centroids(spark):
+    """Trained sampled k-means vs the first-k stand-in, on a CLUSTERED
+    corpus with adversarial arrival order (the first 8 vectors all come
+    from one cluster — exactly the case where first-k centroids give no
+    cell-balance or recall guarantee). Trained centroids must (a) be a
+    deterministic pure function of the data, (b) dedicate a centroid to
+    every true cluster, (c) beat the stand-in's recall at equal probe
+    budget."""
+    import numpy as np
+
+    from kgpipe.ops.vectorops import train_ivf_centroids
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((4, 16)) * 5.0
+    rows = []
+    for i in range(8):  # adversarial: first 8 ids in cluster 0
+        rows.append((i, [float(x) for x in centers[0] + rng.standard_normal(16) * 0.1]))
+    for i in range(8, 800):
+        c = int(rng.integers(0, 4))
+        rows.append((i, [float(x) for x in centers[c] + rng.standard_normal(16) * 0.1]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    ct = train_ivf_centroids(emb, k=8)
+    assert ct == train_ivf_centroids(emb, k=8)  # deterministic
+
+    # every true cluster owns at least one trained centroid
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    for center in centers:
+        assert max(cos(center, vec) for _, vec in ct) >= 0.99
+
+    firstk = sorted(
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    )
+    q = [float(x) for x in centers[3]]  # query in a cluster first-k never saw
+    exact = {r.vec_id for r in vectorops.cosine_topk(emb, q, k=10).collect()}
+    rec = {}
+    for tag, cents in (("firstk", firstk), ("trained", ct)):
+        got = {
+            r.vec_id
+            for r in vectorops.ann_ivf_topk(
+                emb, q, k=10, n_probe=2, centroids=cents
+            ).collect()
+        }
+        rec[tag] = len(exact & got) / 10
+    assert rec["trained"] >= 0.9
+    assert rec["trained"] >= rec["firstk"]
+
+
 def test_cosine_near_dup_empty_input(spark):
     """Empty corpus on the default (size-derived) path returns an empty
     pair frame instead of raising on the dim probe."""
@@ -348,6 +405,74 @@ def test_multimodal_injected_codec(spark):
     for f in frames:
         by_media.setdefault(f.media_id, []).append(f.frame_idx)
     assert all(sorted(v) == [0, 1] for v in by_media.values())
+
+
+def test_multimodal_strict_and_decode_mutually_exclusive(spark):
+    """strict=True is the no-codec contract; silently ignoring it when a
+    decode callable is injected made the contract ambiguous (round-3
+    ADVICE) — now it raises."""
+    from kgpipe.ops.multimodal import sample_video_frames as svf
+
+    media = synthetic_media(spark, 3)
+    with pytest.raises(ValueError, match="strict"):
+        image_metadata(media, strict=True, decode=lambda b: (1, 1, "png"))
+    with pytest.raises(ValueError, match="strict"):
+        svf(media, strict=True, decode=lambda b, n: [b])
+
+
+def test_multimodal_pil_autodetect_wiring(monkeypatch):
+    """pil_image_decoder wires PIL in as the default image codec when it
+    imports (a stand-in PIL is injected — this container ships none):
+    valid images decode through it, undecodable bytes fall back to the
+    deterministic stub so synthetic/corrupt payloads stay total."""
+    import sys
+    import types
+
+    from kgpipe.ops import multimodal as mm
+
+    class _Im:
+        width, height, format = 3, 4, "PNG"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    img_mod = types.ModuleType("PIL.Image")
+
+    def _open(buf):
+        if buf.getvalue() == b"good":
+            return _Im()
+        raise OSError("cannot identify image file")
+
+    img_mod.open = _open
+    pil = types.ModuleType("PIL")
+    pil.Image = img_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", img_mod)
+
+    dec = mm.pil_image_decoder()
+    assert dec is not None
+    assert dec(b"good") == (3, 4, "png")
+    assert dec(b"not-an-image") == mm._decode_image_stub(b"not-an-image", strict=False)
+
+
+def test_multimodal_pil_autodetect_real(spark):
+    """Runs only where a real PIL exists (skipped in this container):
+    image_metadata's default path must decode a real PNG via PIL."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 9)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(buf.getvalue()), "image/png")], MEDIA_SCHEMA
+    )
+    row = image_metadata(media).first()
+    assert (row.width, row.height, row.format) == (5, 9, "png")
 
 
 def test_multimodal_frame_sampling(spark):
