@@ -22,6 +22,7 @@ def _triples(wh, spark):
     return {(r.subj, r.pred, r.obj) for r in t.collect()}
 
 
+@pytest.mark.slow
 def test_incremental_equals_single_shot(spark, small_corpus, frames, tmp_path):
     cdf, sdf = frames
     wh = run_incremental(spark, cdf, sdf, str(tmp_path / "wh"), n_buckets=3)
@@ -41,6 +42,7 @@ def test_incremental_equals_single_shot(spark, small_corpus, frames, tmp_path):
     assert m.agg(F.max("end")).first()[0] == 3
 
 
+@pytest.mark.slow
 def test_incremental_equals_single_shot_with_malformed_pages(
     spark, frames, tmp_path
 ):
@@ -65,6 +67,7 @@ def test_incremental_equals_single_shot_with_malformed_pages(
     assert wh.errors.read(spark).where(F.col("key") == bad_path).count() == 1
 
 
+@pytest.mark.slow
 def test_crash_resume_converges(spark, frames, tmp_path):
     cdf, sdf = frames
     root = str(tmp_path / "wh_crash")
@@ -122,6 +125,7 @@ def test_run_scoped_checkpoints_and_bucket_mismatch(spark, frames, tmp_path):
         pending_units(wh, spark, 4, run_id="run-1")
 
 
+@pytest.mark.slow
 def test_retry_errors_converges(spark, small_corpus, tmp_path):
     """T10 (reference retry_errors.py:79-128): corrupt page → errors row;
     retry via the runner's prepare_retry/finish_retry flow. Each retry
@@ -190,6 +194,7 @@ def test_retry_errors_converges(spark, small_corpus, tmp_path):
     assert node_set(wh) == node_set(clean)
 
 
+@pytest.mark.slow
 def test_termination_vocabulary_reachable(spark, frames, tmp_path):
     """T7/T8: every reference termination_reason value (README.md:50-56)
     must be reachable from a corpus-quality signal."""

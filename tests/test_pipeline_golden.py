@@ -178,6 +178,7 @@ def test_salted_composed_of_matches_broadcast(spark, small_corpus, graph):
     assert rows == {("AB", "A"), ("AB", "B"), ("BC", "B"), ("BC", "C")}
 
 
+@pytest.mark.slow
 def test_full_section_properties_roundtrip(spark, small_corpus, tmp_path):
     """S11 full fidelity: through the incremental runner + warehouse
     merge, a crawled Hanzi node's properties JSON must round-trip EVERY

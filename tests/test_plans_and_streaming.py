@@ -194,6 +194,7 @@ def test_streaming_windowed_metrics_match_batch(spark, tmp_path):
     assert streamed == batch and len(streamed) > 0
 
 
+@pytest.mark.slow
 def test_full_graph_stream_matches_batch(spark, small_corpus, tmp_path):
     """run_graph_stream over the corpus arriving as files (zidian first —
     the order where the reference's insert-time composed-of semantics

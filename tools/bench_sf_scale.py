@@ -29,6 +29,11 @@ BASE = "/root/testdata/sf0.1"
 GENS = 4
 SHIFT = 10_000_000
 
+#: flagship corpus: bench.py's BENCH_CORPUS at 1x and a 4x entity-scale
+#: replication (generate_corpus's ``scale`` clones term entities with
+#: suffixed surface forms, so pages/edges/triples all grow ~linearly)
+KG_SCALES = {1: 1600, GENS: 1600 * GENS}
+
 HEADLINE = [
     "tpch_q1_pricing",
     "tpch_q3_revenue",
@@ -103,6 +108,48 @@ def build_scaled(spark, out_dir: str, n_gens: int) -> None:
         )
 
 
+def build_kg_corpus(spark, out_dir: str, scale: int, n_gens: int) -> None:
+    """Write the flagship bench corpus at an entity ``scale`` — same
+    writer/layout discipline as ``build_scaled``: file COUNT grows with
+    the scale, per-file size stays comparable."""
+    from kgpipe.corpus import corpus_to_dataframes, generate_corpus
+
+    corpus = generate_corpus(n_hanzi=60, n_words=120, n_idioms=80, seed=42, scale=scale)
+    cdf, sdf = corpus_to_dataframes(spark, corpus)
+    cdf.repartition(16 * n_gens).write.mode("overwrite").parquet(f"{out_dir}/corpus")
+    sdf.repartition(4).write.mode("overwrite").parquet(f"{out_dir}/seeds")
+
+
+def run_kg(spark, kg_dir: str) -> float:
+    """Time the full KG pipeline (parse → link → edges → CC →
+    canonicalize → dedup) over a prebuilt corpus: one full-size warmup
+    round, then best-of-2 — the same steady-state protocol bench.py
+    uses, with per-round cache hygiene."""
+    import gc
+
+    from kgpipe.pipeline import build_graph
+    from kgpipe.session import free_cached_since, persistent_rdd_ids
+
+    sc = spark.sparkContext
+    cdf = spark.read.parquet(f"{kg_dir}/corpus").repartition(
+        max(sc.defaultParallelism, 32)
+    ).persist()
+    cdf.count()  # input materialized outside the timed window
+    sdf = spark.read.parquet(f"{kg_dir}/seeds")
+    keep = persistent_rdd_ids(sc)
+    best = None
+    for i in range(3):  # round 0 = warmup
+        t0 = time.time()
+        _force(build_graph(spark, cdf, sdf).triples)
+        sec = round(time.time() - t0, 3)
+        if i > 0:
+            best = sec if best is None else min(best, sec)
+        gc.collect()
+        free_cached_since(sc, keep)
+    cdf.unpersist()
+    return best
+
+
 def _force(df) -> int:
     from pyspark.sql import functions as F
 
@@ -139,16 +186,21 @@ def main() -> None:
 
     base_dir = os.path.join(REPO, "bench_out", "sf0.1x1")
     scaled_dir = os.path.join(REPO, "bench_out", f"sf0.1x{GENS}")
+    kg_dirs = {
+        g: os.path.join(REPO, "bench_out", f"kgcorpus-x{g}") for g in KG_SCALES
+    }
     if not all(
         os.path.exists(os.path.join(d, "region.parquet"))
         for d in (base_dir, scaled_dir)
-    ):
+    ) or not all(os.path.exists(os.path.join(d, "seeds")) for d in kg_dirs.values()):
         # build in a throwaway session: the big shuffle/write would pollute
         # the measurement session's heap and page cache
         b = get_spark(app_name="sf-scale-build", master=f"local[{cores}]")
         b.sparkContext.setLogLevel("ERROR")
         build_scaled(b, base_dir, 1)
         build_scaled(b, scaled_dir, GENS)
+        for g, d in kg_dirs.items():
+            build_kg_corpus(b, d, KG_SCALES[g], g)
         b.stop()
 
     spark = get_spark(app_name="sf-scale-bench", master=f"local[{cores}]")
@@ -156,6 +208,10 @@ def main() -> None:
 
     t1 = run_suite(spark, base_dir)
     t4 = run_suite(spark, scaled_dir)
+    t1["kg_pipeline"], t4["kg_pipeline"] = (
+        run_kg(spark, kg_dirs[1]),
+        run_kg(spark, kg_dirs[GENS]),
+    )
 
     stamp = datetime.now(timezone.utc).isoformat()[:19]
     lines = [
@@ -171,12 +227,15 @@ def main() -> None:
         "driver-side) growth. Note: replicating documents as near-dup *siblings* "
         "instead (suffix-only perturbation) measured ×7.1 on dedup_minhash_lsh — "
         "that is the detector being output-sensitive to a 4x-higher duplicate "
-        "rate (candidate pairs grow ~GENS²), not engine super-linearity.",
+        "rate (candidate pairs grow ~GENS²), not engine super-linearity. The "
+        "kg_pipeline row scales the flagship's own bench corpus instead "
+        f"(entity scale {KG_SCALES[1]} → {KG_SCALES[GENS]}: pages, edges and "
+        "triples all grow ~4x).",
         "",
         "| query | sf0.1 s | 4x s | ratio |",
         "|---|---|---|---|",
     ]
-    for name in HEADLINE:
+    for name in HEADLINE + ["kg_pipeline"]:
         ratio = round(t4[name] / t1[name], 2) if t1[name] > 0 else float("nan")
         lines.append(f"| {name} | {t1[name]} | {t4[name]} | {ratio} |")
     tot1, tot4 = round(sum(t1.values()), 3), round(sum(t4.values()), 3)
