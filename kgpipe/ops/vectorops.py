@@ -52,14 +52,24 @@ def cosine_topk(
 
 
 def _plane(p: int, dim: int):
-    """Pseudo-random ±1 hyperplane p as an array literal: coordinate c is
-    +1 iff the first hex digit of md5("p|c") ≥ '8' — no RNG state,
-    identical on any cluster and portable to the DuckDB oracle."""
-    return F.array(
-        *[
-            F.when(
-                F.substring(F.md5(F.lit(f"{p}|{c}")), 1, 1) >= "8", F.lit(1.0)
-            ).otherwise(F.lit(-1.0))
+    """Pseudo-random ±1 hyperplane p as ONE array-literal plan node:
+    coordinate c is +1 iff the first hex digit of md5("p|c") ≥ '8' — no
+    RNG state, identical on any cluster and portable to the DuckDB
+    oracle (queries._lsh_bucket_sql applies the same rule).
+
+    The coordinates are hashed driver-side and emitted as a single
+    ``F.lit(list)`` Literal instead of dim CASE expressions per plane:
+    the signature expression is O(planes) plan nodes, not O(planes×dim)
+    — at production dims (768+) and the 24-plane ceiling the per-
+    coordinate form is ~18k expression nodes per projection, which blows
+    up driver plan-build/codegen; the literal form stays trivial."""
+    import hashlib
+
+    return F.lit(
+        [
+            1.0
+            if hashlib.md5(f"{p}|{c}".encode()).hexdigest()[0] >= "8"
+            else -1.0
             for c in range(dim)
         ]
     )
