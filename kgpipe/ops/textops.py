@@ -338,6 +338,81 @@ def duplicate_ngram_spans(
     return spans.join(dup, "gram_hash").select("doc_id", "start", "gram_hash", "n_docs")
 
 
+def remove_duplicate_spans(
+    docs: DataFrame, n: int = 8, min_docs: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """The OUTPUT stage of exact substring dedup (Lee et al. 2022): cut
+    every duplicated word-n-gram range out of each document. A token is
+    removed iff it falls inside some span [start, start+n-1] reported by
+    ``duplicate_ngram_spans``; the survivors re-join into the cleaned
+    text. Returns (doc_id, n_tokens, removed_tokens, cleaned_text) for
+    EVERY document (documents without duplicated spans pass through
+    unmodified).
+
+    Scale shape: the span table (small — only duplicated grams) is
+    aggregated to one start-list per affected document and joined back on
+    the uniform doc_id key; the cut itself is a single row-local
+    higher-order-function projection (transform + exists + filter), zero
+    extra shuffle beyond the span aggregation. Engine-portable: pure
+    integer position arithmetic + the same tokenizer the span detector
+    used.
+    """
+    spans = duplicate_ngram_spans(docs, n=n, min_docs=min_docs, text_col=text_col)
+    starts = spans.groupBy("doc_id").agg(F.collect_set("start").alias("_starts"))
+    toks_expr = f"filter(split(trim({text_col}), '\\\\s+'), t -> char_length(t) > 0)"
+    joined = docs.join(starts, "doc_id", "left")
+    toks = F.expr(toks_expr)
+    starts_arr = F.coalesce(F.col("_starts"), F.expr("array()").cast("array<int>"))
+    indexed = F.transform(
+        toks, lambda t, i: F.struct(t.alias("t"), (i + F.lit(1)).alias("p"))
+    )
+    kept = F.transform(
+        F.filter(
+            indexed,
+            lambda x: ~F.exists(
+                starts_arr,
+                lambda s: (x["p"] >= s) & (x["p"] <= s + F.lit(n - 1)),
+            ),
+        ),
+        lambda x: x["t"],
+    )
+    return joined.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).alias("removed_tokens"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )
+
+
+def stratified_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    thresholds: tuple = (("train", "cc"), ("val", "e6")),
+    default: str = "test",
+) -> DataFrame:
+    """Deterministic hash-stratified dataset split (train/val/test): the
+    first md5 byte of the id, as two hex chars, compares against string
+    thresholds ('cc' → ~79.7% train, 'e6' → next ~10.2% val, rest test).
+
+    Pure row-local projection — no shuffle, no RNG, no positional
+    dependence: a document keeps its split forever as the corpus grows
+    or repartitions (the property a ``rand()``- or row-number-based
+    split lacks), and the assignment is identical on any engine that
+    agrees on md5 + string comparison. Returns (id, bucket, split).
+    """
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    split = None
+    for name, th in thresholds:
+        cond = h < F.lit(th)
+        split = (
+            F.when(cond, F.lit(name))
+            if split is None
+            else split.when(cond, F.lit(name))
+        )
+    split = split.otherwise(F.lit(default))
+    return docs.select(F.col(id_col), h.alias("bucket"), split.alias("split"))
+
+
 def repetition_stats(
     docs: DataFrame, n: int = 3, text_col: str = "text"
 ) -> DataFrame:

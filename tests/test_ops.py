@@ -85,6 +85,53 @@ def test_duplicate_ngram_spans(spark):
     assert spans == {(1, 1): 2, (2, 3): 2}  # the shared "a b c"
 
 
+def test_remove_duplicate_spans(spark):
+    """Lee et al. output stage: the duplicated 8-token run is cut from
+    BOTH owners; unique documents pass through untouched."""
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, f"intro {shared} tail1"),
+        (2, f"{shared} other words here"),
+        (3, "totally unique content with no duplicate runs at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in textops.remove_duplicate_spans(docs, n=8, min_docs=2).collect()
+    }
+    assert out[1].n_tokens == 10 and out[1].removed_tokens == 8
+    assert out[1].cleaned_text == "intro tail1"
+    assert out[2].removed_tokens == 8 and out[2].cleaned_text == "other words here"
+    assert out[3].removed_tokens == 0
+    assert out[3].cleaned_text == rows[2][1]
+
+
+def test_stratified_split_stable_and_proportioned(spark):
+    """Hash-stratified split: fractions near the thresholds, and — the
+    property rand()/row_number splits lack — a document's assignment is
+    invariant under corpus growth and repartitioning."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = textops.stratified_split(docs)
+    n = docs.count()
+    frac = {
+        r.split: r["count"] / n
+        for r in out.groupBy("split").count().collect()
+    }
+    assert 0.72 <= frac["train"] <= 0.88
+    assert 0.05 <= frac["val"] <= 0.16
+    assert 0.05 <= frac["test"] <= 0.16
+    base = {r.doc_id: r.split for r in out.collect()}
+    grown = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    ).repartition(7)
+    regrown = {
+        r.doc_id: r.split
+        for r in textops.stratified_split(grown).collect()
+        if r.doc_id < 1_000_000
+    }
+    assert regrown == base
+
+
 def test_repetition_stats(spark):
     docs = spark.createDataFrame(
         [(1, "a b a b a b"), (2, "a b c d"), (3, "a")],
