@@ -384,6 +384,74 @@ def remove_duplicate_spans(
     )
 
 
+def ngram_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    probe_id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: find corpus documents that share any
+    word n-gram with a PROBE set (eval/benchmark documents) — the
+    standard leakage check run before training. Returns
+    (doc_id, probe_id, shared_grams) for every contaminated
+    (corpus doc, probe doc) pair, self-pairs excluded.
+
+    Scale shape: the probe set is small by definition (benchmarks), so
+    its distinct gram table broadcasts; the corpus side is one row-local
+    distinct-gram projection (``array_distinct`` before the explode — no
+    per-doc dedup shuffle) joined against the broadcast, then one
+    hash-agg on the (doc, probe) pair. The corpus is never self-joined
+    and never shuffled on anything but the output pair key.
+    """
+    gram_expr = _word_ngram_hashes(text_col, n)
+    probe_grams = probes.select(
+        F.col(probe_id_col).alias("probe_id"),
+        F.explode(F.array_distinct(F.expr(gram_expr))).alias("gram_hash"),
+    )
+    corpus_grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(gram_expr))).alias("gram_hash"),
+    )
+    return (
+        corpus_grams.join(F.broadcast(probe_grams), "gram_hash")
+        .where(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+
+
+def token_vocabulary(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus-wide vocabulary induction: the top-``k`` whitespace tokens
+    by document frequency and total count — the counting pass a BPE/
+    tokenizer-training pipeline runs first. Deterministic ordering:
+    count desc, then token asc.
+
+    One explode → one hash-agg with map-side partial aggregation on the
+    token key → global top-k (TakeOrderedAndProject, no full sort). Head
+    tokens are the textbook skewed key, which is exactly where partial
+    aggregation collapses the skew before the shuffle: each map task
+    emits one row per distinct token regardless of its frequency.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"filter(split(trim({text_col}), '\\\\s+'), t -> char_length(t) > 0)"
+            )
+        ).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("total_count"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("total_count").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
 def stratified_split(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -633,6 +633,52 @@ def corpus_stratified_split(spark, sf):
     return textops.stratified_split(_t(spark, sf, "documents"))
 
 
+_CONTAMINATION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0) AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(tk) < 8 THEN []
+         ELSE [md5(array_to_string(tk[i:i+7], ' ')) FOR i IN range(1, len(tk) - 6)] END
+  ) AS garr FROM toks
+), corpus_g AS (SELECT doc_id, unnest(garr) AS gram_hash FROM grams),
+probe_g AS (
+  SELECT doc_id AS probe_id, unnest(garr) AS gram_hash FROM grams WHERE doc_id % 97 = 0
+)
+SELECT c.doc_id, p.probe_id, count(*) AS shared_grams
+FROM corpus_g c JOIN probe_g p USING (gram_hash)
+WHERE c.doc_id <> p.probe_id
+GROUP BY c.doc_id, p.probe_id
+"""
+
+
+@_q("ngram_contamination", _CONTAMINATION_ORACLE)
+def ngram_contamination(spark, sf):
+    # benchmark decontamination: every 97th document stands in for the
+    # eval/benchmark probe set; which corpus docs leak any of its 8-grams
+    docs = _t(spark, sf, "documents")
+    probes = docs.where(F.col("doc_id") % 97 == 0)
+    return textops.ngram_contamination(docs, probes, n=8)
+
+
+_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)) AS token
+  FROM documents
+)
+SELECT token, count(*) AS total_count, count(DISTINCT doc_id) AS doc_freq
+FROM toks GROUP BY token ORDER BY total_count DESC, token ASC LIMIT 100
+"""
+
+
+@_q("token_vocabulary_topk", _VOCAB_ORACLE)
+def token_vocabulary_topk(spark, sf):
+    # vocabulary induction counting pass (BPE/tokenizer prep): top-100
+    # tokens by corpus count with document frequency
+    return textops.token_vocabulary(_t(spark, sf, "documents"), k=100)
+
+
 _REPETITION_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0) AS tk

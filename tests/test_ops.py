@@ -132,6 +132,35 @@ def test_stratified_split_stable_and_proportioned(spark):
     assert regrown == base
 
 
+def test_ngram_contamination(spark):
+    """Decontamination: a corpus doc embedding a probe's 8-gram is
+    flagged against that probe; clean docs and self-pairs are not."""
+    bench = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"prefix {bench} suffix words"),
+        (2, "entirely clean document with no benchmark overlap at all"),
+        (100, bench),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    probes = docs.where(F.col("doc_id") == 100)
+    out = {
+        (r.doc_id, r.probe_id): r.shared_grams
+        for r in textops.ngram_contamination(docs, probes, n=8).collect()
+    }
+    assert out == {(1, 100): 1}  # doc 1 leaks exactly the one shared 8-gram
+
+
+def test_token_vocabulary(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a a"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    out = textops.token_vocabulary(docs, k=2).collect()
+    assert [(r.token, r.total_count, r.doc_freq) for r in out] == [
+        ("a", 3, 2),
+        ("b", 2, 2),  # tie-break on count then token asc is deterministic
+    ]
+
+
 def test_repetition_stats(spark):
     docs = spark.createDataFrame(
         [(1, "a b a b a b"), (2, "a b c d"), (3, "a")],
