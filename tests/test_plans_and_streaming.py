@@ -131,6 +131,22 @@ def test_clean_corpus_fused_two_text_scans(spark):
         assert row.repetition_ratio == rep[row.doc_id]
 
 
+def test_new_training_ops_plan_shapes(spark):
+    """Round-4 operators keep the 100 TB plan contract: vocabulary top-k
+    is a TakeOrderedAndProject (no full sort) over a map-side-combined
+    aggregate; decontamination broadcasts the probe grams (the corpus is
+    never shuffled for the join)."""
+    from kgpipe.ops import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    vocab_plan = plans.physical_plan(textops.token_vocabulary(docs))
+    assert "TakeOrderedAndProject" in vocab_plan, vocab_plan
+
+    probes = docs.where(F.col("doc_id") % 97 == 0)
+    cont = textops.ngram_contamination(docs, probes)
+    plans.assert_broadcast_join(cont)
+
+
 def test_codegen_covers_native_ops(spark):
     df = QUERIES["tpch_q1_pricing"](spark, SF_DIR)
     assert plans.count_codegen_stages(df) >= 1
