@@ -339,15 +339,27 @@ def duplicate_ngram_spans(
 
 
 def remove_duplicate_spans(
-    docs: DataFrame, n: int = 8, min_docs: int = 2, text_col: str = "text"
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    keep_first: bool = False,
 ) -> DataFrame:
     """The OUTPUT stage of exact substring dedup (Lee et al. 2022): cut
-    every duplicated word-n-gram range out of each document. A token is
-    removed iff it falls inside some span [start, start+n-1] reported by
+    duplicated word-n-gram ranges out of documents. A token is removed
+    iff it falls inside some span [start, start+n-1] reported by
     ``duplicate_ngram_spans``; the survivors re-join into the cleaned
     text. Returns (doc_id, n_tokens, removed_tokens, cleaned_text) for
     EVERY document (documents without duplicated spans pass through
     unmodified).
+
+    ``keep_first=False`` (default) removes the duplicated range from ALL
+    owners — the conservative contamination-removal policy.
+    ``keep_first=True`` is the paper's dedup semantics: the occurrence in
+    the lowest doc_id containing each gram survives (one copy of the
+    content is preserved corpus-wide); only the other owners are cut.
+    The keeper election is one extra hash-agg over the (small)
+    duplicated-span table — the corpus-side cost is identical.
 
     Scale shape: the span table (small — only duplicated grams) is
     aggregated to one start-list per affected document and joined back on
@@ -358,6 +370,11 @@ def remove_duplicate_spans(
     used.
     """
     spans = duplicate_ngram_spans(docs, n=n, min_docs=min_docs, text_col=text_col)
+    if keep_first:
+        keeper = spans.groupBy("gram_hash").agg(F.min("doc_id").alias("_keeper"))
+        spans = spans.join(keeper, "gram_hash").where(
+            F.col("doc_id") != F.col("_keeper")
+        )
     starts = spans.groupBy("doc_id").agg(F.collect_set("start").alias("_starts"))
     toks_expr = f"filter(split(trim({text_col}), '\\\\s+'), t -> char_length(t) > 0)"
     joined = docs.join(starts, "doc_id", "left")
@@ -390,6 +407,7 @@ def ngram_contamination(
     n: int = 8,
     text_col: str = "text",
     probe_id_col: str = "doc_id",
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: find corpus documents that share any
     word n-gram with a PROBE set (eval/benchmark documents) — the
@@ -402,7 +420,10 @@ def ngram_contamination(
     distinct-gram projection (``array_distinct`` before the explode — no
     per-doc dedup shuffle) joined against the broadcast, then one
     hash-agg on the (doc, probe) pair. The corpus is never self-joined
-    and never shuffled on anything but the output pair key.
+    and never shuffled on anything but the output pair key. For an
+    unusually large probe set (beyond the executor broadcast budget,
+    roughly >100k probe documents) pass ``broadcast_probes=False`` to
+    let AQE pick the strategy for the gram join instead.
     """
     gram_expr = _word_ngram_hashes(text_col, n)
     probe_grams = probes.select(
@@ -413,8 +434,9 @@ def ngram_contamination(
         "doc_id",
         F.explode(F.array_distinct(F.expr(gram_expr))).alias("gram_hash"),
     )
+    probe_side = F.broadcast(probe_grams) if broadcast_probes else probe_grams
     return (
-        corpus_grams.join(F.broadcast(probe_grams), "gram_hash")
+        corpus_grams.join(probe_side, "gram_hash")
         .where(F.col("doc_id") != F.col("probe_id"))
         .groupBy("doc_id", "probe_id")
         .agg(F.count(F.lit(1)).alias("shared_grams"))

@@ -616,6 +616,45 @@ def duplicate_span_removal(spark, sf):
     return textops.remove_duplicate_spans(_t(spark, sf, "documents"), n=8, min_docs=2)
 
 
+_SPAN_REMOVAL_KEEP_FIRST_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0) AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, i AS start, md5(array_to_string(tk[i:i+7], ' ')) AS gram_hash
+  FROM toks, unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS r(i)
+), dup AS (
+  SELECT gram_hash FROM grams GROUP BY gram_hash HAVING count(DISTINCT doc_id) >= 2
+), keepers AS (
+  SELECT gram_hash, min(doc_id) AS keeper FROM grams JOIN dup USING (gram_hash)
+  GROUP BY gram_hash
+), sp AS (
+  SELECT g.doc_id, list(DISTINCT g.start) AS starts
+  FROM grams g JOIN keepers k USING (gram_hash)
+  WHERE g.doc_id <> k.keeper GROUP BY g.doc_id
+), cut AS (
+  SELECT t.doc_id, tk,
+    [tk[i] FOR i IN range(1, len(tk) + 1)
+     IF len(list_filter(coalesce(sp.starts, []), s -> i >= s AND i <= s + 7)) = 0] AS kept
+  FROM toks t LEFT JOIN sp ON sp.doc_id = t.doc_id
+)
+SELECT doc_id,
+  CAST(len(tk) AS INT) AS n_tokens,
+  CAST(len(tk) - len(kept) AS INT) AS removed_tokens,
+  coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+FROM cut
+"""
+
+
+@_q("duplicate_span_removal_keep_first", _SPAN_REMOVAL_KEEP_FIRST_ORACLE)
+def duplicate_span_removal_keep_first(spark, sf):
+    # the paper's dedup policy: one occurrence (lowest doc_id per gram)
+    # survives corpus-wide; only the other owners are cut
+    return textops.remove_duplicate_spans(
+        _t(spark, sf, "documents"), n=8, min_docs=2, keep_first=True
+    )
+
+
 _STRATIFIED_SPLIT_ORACLE = """
 SELECT doc_id,
   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,

@@ -132,6 +132,26 @@ def test_stratified_split_stable_and_proportioned(spark):
     assert regrown == base
 
 
+def test_remove_duplicate_spans_keep_first(spark):
+    """keep_first=True is the Lee et al. policy: the lowest-doc_id owner
+    of each duplicated gram keeps its occurrence; the others are cut."""
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, f"intro {shared} tail1"),
+        (2, f"{shared} other words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in textops.remove_duplicate_spans(
+            docs, n=8, min_docs=2, keep_first=True
+        ).collect()
+    }
+    assert out[1].removed_tokens == 0  # keeper: one copy survives
+    assert out[1].cleaned_text == rows[0][1]
+    assert out[2].removed_tokens == 8 and out[2].cleaned_text == "other words here"
+
+
 def test_ngram_contamination(spark):
     """Decontamination: a corpus doc embedding a probe's 8-gram is
     flagged against that probe; clean docs and self-pairs are not."""
