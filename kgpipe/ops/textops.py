@@ -576,6 +576,55 @@ def clean_corpus(
     )
 
 
+def prepare_training_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    max_repetition: float = 0.5,
+    rep_n: int = 3,
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    span_n: int = 8,
+    span_min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """The full corpus-preparation product, end to end: (1) filter by
+    quality floor, repetition ceiling and near-dup cluster survivorship
+    (``clean_corpus``); (2) cut exact duplicated n-gram spans AMONG THE
+    SURVIVORS with the keep-first policy (``remove_duplicate_spans`` —
+    run after document-level dedup so only residual cross-doc substring
+    duplication is cut, and one copy of each survives); (3) assign the
+    deterministic hash-stratified train/val/test split. Returns
+    (doc_id, split, n_tokens, removed_tokens, cleaned_text) — the frame
+    a tokenize-and-train pipeline consumes directly.
+
+    Scale shape: composes stages that are each scan-minimal (two text
+    scans for the filter, one for the span cut over the pruned survivor
+    set, a row-local split projection); every join key is the uniform
+    doc_id, so at warehouse scale the composition co-partitions into one
+    join tree with no new shuffle patterns beyond its parts.
+    """
+    decisions = clean_corpus(
+        docs,
+        min_quality=min_quality,
+        max_repetition=max_repetition,
+        rep_n=rep_n,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    kept = docs.join(
+        decisions.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    cut = remove_duplicate_spans(
+        kept, n=span_n, min_docs=span_min_docs, text_col=text_col, keep_first=True
+    )
+    split = stratified_split(kept).select("doc_id", "split")
+    return cut.join(split, "doc_id").select(
+        "doc_id", "split", "n_tokens", "removed_tokens", "cleaned_text"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -857,6 +857,56 @@ FROM ql JOIN rep USING (doc_id) JOIN clus USING (doc_id)
 """
 
 
+@_q("prepare_training_corpus")
+def prepare_training_corpus(spark, sf):
+    # the full corpus-prep product: filter (quality + repetition +
+    # near-dup survivorship) -> keep-first span cut among survivors ->
+    # hash-stratified split; the frame a tokenizer/trainer consumes
+    return textops.prepare_training_corpus(_t(spark, sf, "documents"))
+
+
+@_lazy_oracle("prepare_training_corpus")
+def _prepare_training_corpus_oracle() -> str:
+    """Composes the (already individually hash-verified) clean-corpus
+    oracle with the keep-first span-removal and split oracles, scoped to
+    the surviving documents."""
+    clean = _corpus_clean_decisions_oracle()
+    return f"""
+WITH clean AS (SELECT * FROM ({clean}) cc),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN clean USING (doc_id) WHERE clean.keep
+), toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0) AS tk
+  FROM kept
+), grams AS (
+  SELECT doc_id, i AS start, md5(array_to_string(tk[i:i+7], ' ')) AS gram_hash
+  FROM toks, unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS r(i)
+), dup AS (
+  SELECT gram_hash FROM grams GROUP BY gram_hash HAVING count(DISTINCT doc_id) >= 2
+), keepers AS (
+  SELECT gram_hash, min(doc_id) AS keeper FROM grams JOIN dup USING (gram_hash)
+  GROUP BY gram_hash
+), sp AS (
+  SELECT g.doc_id, list(DISTINCT g.start) AS starts
+  FROM grams g JOIN keepers kp USING (gram_hash)
+  WHERE g.doc_id <> kp.keeper GROUP BY g.doc_id
+), cut AS (
+  SELECT t.doc_id, tk,
+    [tk[i] FOR i IN range(1, len(tk) + 1)
+     IF len(list_filter(coalesce(sp.starts, []), s -> i >= s AND i <= s + 7)) = 0] AS kept_toks
+  FROM toks t LEFT JOIN sp ON sp.doc_id = t.doc_id
+)
+SELECT c.doc_id,
+  CASE WHEN substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       WHEN substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       ELSE 'test' END AS split,
+  CAST(len(tk) AS INT) AS n_tokens,
+  CAST(len(tk) - len(kept_toks) AS INT) AS removed_tokens,
+  coalesce(array_to_string(kept_toks, ' '), '') AS cleaned_text
+FROM cut c
+"""
+
+
 # ===========================================================================
 # similarity search (embeddings)
 # ===========================================================================

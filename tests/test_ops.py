@@ -152,6 +152,17 @@ def test_remove_duplicate_spans_keep_first(spark):
     assert out[2].removed_tokens == 8 and out[2].cleaned_text == "other words here"
 
 
+def test_prepare_training_corpus_composition(spark):
+    """The end-to-end prep product = exactly the clean_corpus survivors,
+    span-cut and split-assigned."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = textops.prepare_training_corpus(docs).collect()
+    kept = {r.doc_id for r in textops.clean_corpus(docs).collect() if r.keep}
+    assert {r.doc_id for r in rows} == kept and len(rows) > 0
+    assert all(r.split in ("train", "val", "test") for r in rows)
+    assert all(0 <= r.removed_tokens <= r.n_tokens for r in rows)
+
+
 def test_ngram_contamination(spark):
     """Decontamination: a corpus doc embedding a probe's 8-gram is
     flagged against that probe; clean docs and self-pairs are not."""
