@@ -86,53 +86,17 @@ def connected_components(
 #: graph is bounded by the character universe (~90k even at full CJK
 #: coverage, a few MB), while the DataFrame loop costs ~2 driver-side plan
 #: compilations + jobs per iteration — pure serial overhead at any scale.
+#: The collect is IDS-ONLY (two longs per edge — names never cross the
+#: driver): 1M edges ≈ 150 MB of Python tuples, measured in BENCH.md.
 DRIVER_CC_MAX_EDGES = 1_000_000
 
 
-def canonical_mapping(variant_edges: DataFrame, nodes: DataFrame) -> DataFrame:
-    """(node_id → canonical_id, canonical_name) from variant-of edges.
-
-    canonical member = lexicographically smallest *name* in the component
-    (deterministic; independent of hash values and cluster size). Nodes
-    outside any variant cluster map to themselves implicitly (callers
-    left-join and coalesce).
-    """
-    spark = variant_edges.sparkSession
-    slim = variant_edges.select("src_id", "dst_id", "src_name", "dst_name")
-    # one job decides the path AND fetches the small-graph data: collect up
-    # to the threshold + 1; only exceeding it falls back to distributed CC
-    rows = slim.limit(DRIVER_CC_MAX_EDGES + 1).collect()
-    if not rows:
-        return None  # no alias graph → canonicalization is the identity
-    if len(rows) <= DRIVER_CC_MAX_EDGES:
-        parent: dict = {}
-        name_of: dict = {}
-
-        def find(x):
-            parent.setdefault(x, x)
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for r in rows:
-            name_of[r.src_id] = r.src_name
-            name_of[r.dst_id] = r.dst_name
-            ra, rb = find(r.src_id), find(r.dst_id)
-            if ra != rb:
-                lo, hi = (ra, rb) if (name_of[ra], ra) < (name_of[rb], rb) else (rb, ra)
-                parent[hi] = lo
-        out = [
-            (node, find(node), name_of[find(node)])
-            for node in parent
-        ]
-        return spark.createDataFrame(
-            out, "node_id long, canonical_id long, canonical_name string"
-        )
-
-    comp = connected_components(
-        variant_edges, num_partitions=max(slim.count() // 2_000_000, 8)
-    )
+def _elect_winners(comp: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Shared tail of both canonicalization paths: component assignment →
+    per-component canonical member = the node with the lexicographically
+    smallest *name* (deterministic; independent of hash values, cluster
+    size, and of WHICH path computed the components). One broadcast-sized
+    name join + one hash-agg on component_id."""
     named = comp.join(nodes.select("node_id", "name"), "node_id", "inner")
     winners = (
         named.groupBy("component_id")
@@ -146,6 +110,53 @@ def canonical_mapping(variant_edges: DataFrame, nodes: DataFrame) -> DataFrame:
         .select("node_id", "canonical_id", "canonical_name")
         .localCheckpoint(eager=True)
     )
+
+
+def canonical_mapping(variant_edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(node_id → canonical_id, canonical_name) from variant-of edges.
+
+    canonical member = lexicographically smallest *name* in the component
+    (see ``_elect_winners`` — the election runs distributed in BOTH
+    paths; only the component computation differs). Nodes outside any
+    variant cluster map to themselves implicitly (callers left-join and
+    coalesce).
+    """
+    spark = variant_edges.sparkSession
+    slim = variant_edges.select("src_id", "dst_id")
+    # one job decides the path AND fetches the small-graph data: collect up
+    # to the threshold + 1; only exceeding it falls back to distributed CC
+    rows = slim.limit(DRIVER_CC_MAX_EDGES + 1).collect()
+    if not rows:
+        return None  # no alias graph → canonicalization is the identity
+    if len(rows) <= DRIVER_CC_MAX_EDGES:
+        # driver union-find over ids only (longs — no strings held or
+        # re-uploaded); component root = min node_id, matching the
+        # distributed CC's labeling, then the winner election runs
+        # through the same distributed tail as the large-graph path
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            ra, rb = find(r.src_id), find(r.dst_id)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        comp = spark.createDataFrame(
+            [(node, find(node)) for node in parent],
+            "node_id long, component_id long",
+        )
+        return _elect_winners(comp, nodes)
+
+    comp = connected_components(
+        variant_edges, num_partitions=max(slim.count() // 2_000_000, 8)
+    )
+    return _elect_winners(comp, nodes)
 
 
 def apply_canonicalization(edges: DataFrame, mapping: DataFrame) -> DataFrame:

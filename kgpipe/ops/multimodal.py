@@ -72,15 +72,24 @@ def pil_image_decoder():
     the deterministic stub metadata so pipelines over synthetic/corrupt
     payloads stay total and reproducible — a deployment that wants hard
     failures injects its own raising decoder via ``decode=``.
+
+    PIL is imported LAZILY inside ``decode`` (per-executor, cached by
+    Python's module cache after the first call): driver-side detection
+    only chooses the default, it must not make the shipped closure
+    reference a module the executors may not have — on a cluster where
+    only the driver has PIL, the task falls back to the stub instead of
+    dying with an ImportError at deserialization time.
     """
     try:
-        from PIL import Image
+        import PIL  # noqa: F401 — driver-side availability probe only
     except ImportError:
         return None
-    import io
 
     def decode(data: bytes) -> tuple[int, int, str]:
         try:
+            import io
+
+            from PIL import Image  # lazy: executor may lack PIL → stub
             with Image.open(io.BytesIO(data)) as im:
                 return (int(im.width), int(im.height), (im.format or "").lower())
         except Exception:

@@ -313,12 +313,24 @@ def duplicate_ngram_spans(
     projection is the same size class as the shingle table LSH already
     builds; it is released by the ContextCleaner once the result frame is
     garbage-collected.
+
+    The barrier is a LAZY ``localCheckpoint`` (eager=False): operator
+    construction stays free of jobs (the plan-declaration contract every
+    other operator keeps), and the single materialization happens at the
+    first consuming action, after which both the duplicated-gram
+    aggregation and the participant lookup read the checkpointed blocks.
+    Trade-off, stated for the 100 TB claim: localCheckpoint blocks are
+    executor-local and non-replicated, so an executor loss mid-job loses
+    them with no recompute path — a production deployment that cannot
+    afford a job restart should swap this barrier for a reliable
+    checkpoint (write the (doc_id, gram_hash) projection to a scratch
+    table and read it back).
     """
     gram_arr = _word_ngram_hashes(text_col, n)
     doc_grams = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.expr(gram_arr))).alias("gram_hash"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # per-(doc, gram) rows are distinct by construction, so a plain count
     # IS countDistinct(doc_id) — no second dedup pass
     dup = (
@@ -401,29 +413,48 @@ def remove_duplicate_spans(
     )
 
 
+#: probe documents above this count stop being broadcast by default —
+#: ~100k probe docs × a few hundred distinct grams each is the point
+#: where the exploded gram table threatens the executor broadcast budget.
+CONTAMINATION_BROADCAST_MAX_PROBES = 100_000
+
+
 def ngram_contamination(
     docs: DataFrame,
     probes: DataFrame,
     n: int = 8,
     text_col: str = "text",
     probe_id_col: str = "doc_id",
-    broadcast_probes: bool = True,
+    broadcast_probes: bool | None = None,
+    broadcast_max_probes: int = CONTAMINATION_BROADCAST_MAX_PROBES,
+    exclude_self_pairs: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: find corpus documents that share any
     word n-gram with a PROBE set (eval/benchmark documents) — the
     standard leakage check run before training. Returns
     (doc_id, probe_id, shared_grams) for every contaminated
-    (corpus doc, probe doc) pair, self-pairs excluded.
+    (corpus doc, probe doc) pair.
 
     Scale shape: the probe set is small by definition (benchmarks), so
     its distinct gram table broadcasts; the corpus side is one row-local
     distinct-gram projection (``array_distinct`` before the explode — no
     per-doc dedup shuffle) joined against the broadcast, then one
     hash-agg on the (doc, probe) pair. The corpus is never self-joined
-    and never shuffled on anything but the output pair key. For an
-    unusually large probe set (beyond the executor broadcast budget,
-    roughly >100k probe documents) pass ``broadcast_probes=False`` to
-    let AQE pick the strategy for the gram join instead.
+    and never shuffled on anything but the output pair key.
+
+    ``broadcast_probes=None`` (default) DERIVES the strategy from a
+    cheap probe-side count (the ``derive_n_planes`` pattern): at most
+    ``broadcast_max_probes`` probe documents → broadcast the gram table;
+    above it, fall back to a plain shuffle join and let AQE pick — so an
+    unexpectedly huge probe set cannot OOM an executor by default. Pass
+    True/False to force either path (count skipped).
+
+    ``exclude_self_pairs=True`` (default) drops pairs with
+    doc_id == probe_id — correct when probes are DRAWN FROM THE CORPUS
+    (the common leave-the-benchmark-out setup). When the probe set is an
+    external table with its own id space, pass False: a coincidental id
+    collision would otherwise silently suppress a genuine contamination
+    pair.
     """
     gram_expr = _word_ngram_hashes(text_col, n)
     probe_grams = probes.select(
@@ -434,12 +465,16 @@ def ngram_contamination(
         "doc_id",
         F.explode(F.array_distinct(F.expr(gram_expr))).alias("gram_hash"),
     )
+    if broadcast_probes is None:
+        # count-star over the un-exploded probe table: one cheap scan of a
+        # small-by-contract input, pruned to zero columns by Catalyst
+        broadcast_probes = probes.count() <= broadcast_max_probes
     probe_side = F.broadcast(probe_grams) if broadcast_probes else probe_grams
-    return (
-        corpus_grams.join(probe_side, "gram_hash")
-        .where(F.col("doc_id") != F.col("probe_id"))
-        .groupBy("doc_id", "probe_id")
-        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    joined = corpus_grams.join(probe_side, "gram_hash")
+    if exclude_self_pairs:
+        joined = joined.where(F.col("doc_id") != F.col("probe_id"))
+    return joined.groupBy("doc_id", "probe_id").agg(
+        F.count(F.lit(1)).alias("shared_grams")
     )
 
 
@@ -489,7 +524,18 @@ def stratified_split(
     or repartitions (the property a ``rand()``- or row-number-based
     split lacks), and the assignment is identical on any engine that
     agrees on md5 + string comparison. Returns (id, bucket, split).
+
+    Thresholds are sorted ascending by boundary before the when-chain is
+    built (the chain only yields the documented fractions in that order
+    — a caller passing (('val','e6'),('train','cc')) would otherwise
+    silently get the first threshold capturing everything below it);
+    duplicate boundaries are rejected because the later band would be
+    empty, which is never what the caller meant.
     """
+    thresholds = sorted(thresholds, key=lambda nt: nt[1])
+    bounds = [th for _, th in thresholds]
+    if len(set(bounds)) != len(bounds):
+        raise ValueError(f"duplicate split boundaries: {bounds}")
     h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
     split = None
     for name, th in thresholds:
@@ -603,6 +649,19 @@ def prepare_training_corpus(
     set, a row-local split projection); every join key is the uniform
     doc_id, so at warehouse scale the composition co-partitions into one
     join tree with no new shuffle patterns beyond its parts.
+
+    The composition fans out — the survivor set feeds the span detector,
+    the span cut AND the split — so the expensive filter lineage
+    (fused quality/repetition scan + LSH banding + CC + decision
+    semi-join) is pinned behind TWO lazy barriers and evaluates exactly
+    once: ``keep_ids`` (the doc_id column of the keep decisions — all
+    the split needs, so the split never re-scans the corpus) and
+    ``kept`` (the surviving documents with text, read by the span
+    detector's gram projection, the positional re-explode, and the cut
+    join). Lazy ``localCheckpoint`` keeps construction job-free; the
+    blocks are executor-local (see ``duplicate_ngram_spans`` for the
+    fault-tolerance trade-off and the reliable-checkpoint alternative a
+    restart-intolerant 100 TB deployment should substitute).
     """
     decisions = clean_corpus(
         docs,
@@ -613,13 +672,14 @@ def prepare_training_corpus(
         num_hashes=num_hashes,
         bands=bands,
     )
-    kept = docs.join(
-        decisions.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    keep_ids = (
+        decisions.where(F.col("keep")).select("doc_id").localCheckpoint(eager=False)
     )
+    kept = docs.join(keep_ids, "doc_id", "left_semi").localCheckpoint(eager=False)
     cut = remove_duplicate_spans(
         kept, n=span_n, min_docs=span_min_docs, text_col=text_col, keep_first=True
     )
-    split = stratified_split(kept).select("doc_id", "split")
+    split = stratified_split(keep_ids).select("doc_id", "split")
     return cut.join(split, "doc_id").select(
         "doc_id", "split", "n_tokens", "removed_tokens", "cleaned_text"
     )

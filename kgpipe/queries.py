@@ -683,7 +683,8 @@ WITH toks AS (
   ) AS garr FROM toks
 ), corpus_g AS (SELECT doc_id, unnest(garr) AS gram_hash FROM grams),
 probe_g AS (
-  SELECT doc_id AS probe_id, unnest(garr) AS gram_hash FROM grams WHERE doc_id % 97 = 0
+  SELECT doc_id + 10000000 AS probe_id, unnest(garr) AS gram_hash
+  FROM grams WHERE doc_id % 97 = 0
 )
 SELECT c.doc_id, p.probe_id, count(*) AS shared_grams
 FROM corpus_g c JOIN probe_g p USING (gram_hash)
@@ -694,10 +695,16 @@ GROUP BY c.doc_id, p.probe_id
 
 @_q("ngram_contamination", _CONTAMINATION_ORACLE)
 def ngram_contamination(spark, sf):
-    # benchmark decontamination: every 97th document stands in for the
-    # eval/benchmark probe set; which corpus docs leak any of its 8-grams
+    # benchmark decontamination: every 97th document, re-keyed into a
+    # DISJOINT id space (+1e7 — an external benchmark table with its own
+    # ids), stands in for the eval/benchmark probe set. Each probe's
+    # source document is a guaranteed contamination hit, so the gate
+    # checks real (corpus doc, probe) pairs rather than vacuously
+    # matching on an empty result.
     docs = _t(spark, sf, "documents")
-    probes = docs.where(F.col("doc_id") % 97 == 0)
+    probes = docs.where(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
     return textops.ngram_contamination(docs, probes, n=8)
 
 
@@ -1081,6 +1088,38 @@ def _kg_corpus(spark):
     return corpus_to_dataframes(spark, generate_corpus(**_KG_CORPUS_PARAMS))
 
 
+_KG_GRAPH_CACHE: dict = {}
+
+
+def _kg_graph(spark, full_hanzi_properties: bool = False):
+    """ONE ``build_graph`` shared by the five kg_* driver-gate queries
+    (kg_triples, kg_nodes, hanzi_section_fidelity, kg_edge_endpoints_
+    resolve, kg_variant_components). The correctness gate runs every
+    entry back-to-back in one session, and each of these used to rebuild
+    the full pipeline from the same deterministic corpus — the dominant
+    per-entry cost, and the likely reason the round-4 driver sampler
+    dropped entries. Keyed by (applicationId, section-mode) so a repeat
+    call in the same Spark application reuses the first build; the
+    result frames are pinned with lazy localCheckpoints so each
+    materializes once at its first consuming action and every later
+    query reads the blocks. The cache holds ONE tiny fixed-size corpus
+    graph (100 entities) — not a scale concern."""
+    key = (spark.sparkContext.applicationId, full_hanzi_properties)
+    hit = _KG_GRAPH_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from kgpipe.pipeline import build_graph
+
+    cdf, sdf = _kg_corpus(spark)
+    g = build_graph(spark, cdf, sdf, full_hanzi_properties=full_hanzi_properties)
+    g.triples = g.triples.localCheckpoint(eager=False)
+    g.nodes = g.nodes.localCheckpoint(eager=False)
+    g.edges = g.edges.localCheckpoint(eager=False)
+    g.edges_canonical = g.edges_canonical.localCheckpoint(eager=False)
+    _KG_GRAPH_CACHE[key] = g
+    return g
+
+
 def _golden():
     """The independent pure-Python oracle lives IN the package
     (kgpipe.golden) so oracle_sql() works from an executor zip or an
@@ -1093,10 +1132,7 @@ def _golden():
 
 @_q("kg_triples")
 def kg_triples(spark, sf):
-    from kgpipe.pipeline import build_graph
-
-    cdf, sdf = _kg_corpus(spark)
-    return build_graph(spark, cdf, sdf).triples
+    return _kg_graph(spark).triples
 
 
 @_lazy_oracle("kg_triples")
@@ -1110,13 +1146,10 @@ def _kg_triples_oracle() -> str:
 
 @_q("kg_nodes")
 def kg_nodes(spark, sf):
-    from kgpipe.pipeline import build_graph
-
-    cdf, sdf = _kg_corpus(spark)
     # node_id is xxhash64(entity_type, name) — a pure function of the two
     # projected columns (uniqueness is pytest-asserted), so the name-level
     # projection is the oracle-comparable surface
-    return build_graph(spark, cdf, sdf).nodes.select("entity_type", "name", "crawled")
+    return _kg_graph(spark).nodes.select("entity_type", "name", "crawled")
 
 
 @_lazy_oracle("kg_nodes")
@@ -1136,10 +1169,7 @@ def hanzi_section_fidelity(spark, sf):
     ``properties`` JSON — proving the warehouse actually persists all
     seven section blobs (reference hanyuguoxue.py:1411-1439), not that
     the parsers merely ran. Oracle = the independent pure-Python parse."""
-    from kgpipe.pipeline import build_graph
-
-    cdf, sdf = _kg_corpus(spark)
-    g = build_graph(spark, cdf, sdf, full_hanzi_properties=True)
+    g = _kg_graph(spark, full_hanzi_properties=True)
     nodes = g.nodes.where((F.col("entity_type") == "Hanzi") & F.col("crawled"))
 
     def arr_len(path: str):
@@ -1183,10 +1213,7 @@ def kg_edge_endpoints_resolve(spark, sf):
     mints a stub node for every mention/radical/pinyin/translation
     endpoint (pipeline.py endpoint_stubs), so the dangling count is 0 by
     construction; this gate catches any regression in that invariant."""
-    from kgpipe.pipeline import build_graph
-
-    cdf, sdf = _kg_corpus(spark)
-    g = build_graph(spark, cdf, sdf)
+    g = _kg_graph(spark)
     ids = g.nodes.select("node_id")
     dangling = 0
     for edges in (g.edges, g.edges_canonical):
@@ -1200,10 +1227,8 @@ def kg_edge_endpoints_resolve(spark, sf):
 @_q("kg_variant_components")
 def kg_variant_components(spark, sf):
     from kgpipe.canon import canonical_mapping
-    from kgpipe.pipeline import build_graph
 
-    cdf, sdf = _kg_corpus(spark)
-    g = build_graph(spark, cdf, sdf)
+    g = _kg_graph(spark)
     variant = g.edges.where(F.col("rel_type") == "variant-of")
     mapping = canonical_mapping(variant, g.nodes)
     # name-level projection (ids are hashes of the names; see kg_nodes)

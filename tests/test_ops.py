@@ -591,3 +591,110 @@ def test_multimodal_frame_sampling(spark):
         by_media.setdefault(f.media_id, []).append(f.frame_idx)
     for idxs in by_media.values():
         assert sorted(idxs) == list(range(len(idxs)))  # contiguous frame ids
+
+
+# ---------------------------------------------------------------------------
+# round-5 items: contamination strategy/id-space, split ordering, CC paths
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_external_id_space(spark):
+    """ADVICE r4: when probes are an EXTERNAL benchmark table, a
+    coincidental id collision must not suppress a genuine contamination
+    pair — exclude_self_pairs=False keeps it; the default (probes drawn
+    from the corpus) still suppresses the true self-pair."""
+    bench = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, f"x {bench} y"), (2, "no overlap here at all with the benchmark text")],
+        "doc_id long, text string",
+    )
+    external = spark.createDataFrame([(1, bench)], "doc_id long, text string")
+    out = {
+        (r.doc_id, r.probe_id)
+        for r in textops.ngram_contamination(
+            docs, external, n=8, exclude_self_pairs=False
+        ).collect()
+    }
+    assert out == {(1, 1)}  # colliding ids, still a REAL contamination pair
+    # default: same join, self-pair dropped (probe IS corpus doc 1)
+    sub = {
+        (r.doc_id, r.probe_id)
+        for r in textops.ngram_contamination(docs, external, n=8).collect()
+    }
+    assert sub == set()
+
+
+def test_contamination_auto_broadcast_derivation(spark):
+    """The join strategy derives from the probe count: at most
+    broadcast_max_probes probe docs force a broadcast; above the cap the
+    hint is withheld so a huge probe set cannot OOM an executor. With
+    Catalyst's own auto-broadcast disabled, the hint is the only thing
+    that can produce a BroadcastHashJoin — its presence/absence IS the
+    path taken."""
+    from kgpipe import plans
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} a b c d e f g h") for i in range(20)],
+        "doc_id long, text string",
+    )
+    probes = docs.where(F.col("doc_id") < 3)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = textops.ngram_contamination(docs, probes, n=8)  # auto: count<=cap
+        assert "BroadcastHashJoin" in plans.physical_plan(small)
+        capped = textops.ngram_contamination(docs, probes, n=8, broadcast_max_probes=0)
+        assert "BroadcastHashJoin" not in plans.physical_plan(capped)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_stratified_split_threshold_order_invariant(spark):
+    """ADVICE r4: the when-chain only matches its documented fractions
+    with ascending boundaries — the operator now sorts, so a reordered
+    threshold tuple yields the identical assignment; duplicate
+    boundaries (an empty band) are rejected."""
+    docs = spark.createDataFrame([(i,) for i in range(256)], "doc_id long")
+    a = sorted(map(tuple, textops.stratified_split(docs).collect()))
+    b = sorted(
+        map(
+            tuple,
+            textops.stratified_split(
+                docs, thresholds=(("val", "e6"), ("train", "cc"))
+            ).collect(),
+        )
+    )
+    assert a == b and {t[2] for t in a} == {"train", "val", "test"}
+    with pytest.raises(ValueError, match="duplicate split boundaries"):
+        textops.stratified_split(docs, thresholds=(("a", "cc"), ("b", "cc")))
+
+
+def test_canonical_mapping_distributed_branch_matches_driver(spark, monkeypatch):
+    """VERDICT r4 item 4: the >threshold branch of canonical_mapping
+    (distributed CC + winner election) must produce the IDENTICAL mapping
+    as the driver union-find path on the same graph — exercised by
+    pinning DRIVER_CC_MAX_EDGES below the test graph's edge count."""
+    from kgpipe import canon
+
+    # two components: {1,2,3} (chain — transitivity required) and {10,11}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src_id long, dst_id long"
+    )
+    nodes = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, "c"), (10, "z"), (11, "y")],
+        "node_id long, name string",
+    )
+    driver_path = {
+        (r.node_id, r.canonical_id, r.canonical_name)
+        for r in canon.canonical_mapping(edges, nodes).collect()
+    }
+    monkeypatch.setattr(canon, "DRIVER_CC_MAX_EDGES", 1)
+    distributed_path = {
+        (r.node_id, r.canonical_id, r.canonical_name)
+        for r in canon.canonical_mapping(edges, nodes).collect()
+    }
+    assert driver_path == distributed_path
+    assert driver_path == {
+        (1, 2, "a"), (2, 2, "a"), (3, 2, "a"),  # canonical = smallest NAME
+        (10, 11, "y"), (11, 11, "y"),
+    }
