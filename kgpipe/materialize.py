@@ -31,7 +31,11 @@ Commit cost is O(delta), not O(table):
 On a real deployment every call here maps 1:1 onto an Iceberg operation:
 ``merge_best/merge_upsert`` → ``MERGE INTO`` (with the same
 bucket-partition pruning), ``append`` → append snapshot, ``read`` →
-catalog table read.
+catalog table read. That mapping is EXECUTABLE EVIDENCE, not prose:
+every operation appends its equivalent Iceberg Spark-SQL statement to
+``self.sql_log`` (see ``iceberg_sql`` / ``iceberg_ddl``), golden-tested
+statement-for-statement — the migration contract a deployment replays
+against a real catalog.
 
 Upsert semantics mirror the reference sinks: ``INSERT ... ON DUPLICATE
 KEY UPDATE`` (/root/reference/chengyu/chengyu_mysql.py:162-180) and
@@ -48,6 +52,44 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+
+def _order_terms(order) -> list[tuple[str, str]]:
+    """Normalize an ordering spec (strings and/or Column sort expressions)
+    to [(column, 'ASC'|'DESC'), ...] for SQL rendering. Column renders via
+    the JVM expression string ('crawled DESC NULLS LAST'); a bare string
+    means the operations' default ASC NULLS LAST."""
+    terms = []
+    for c in order:
+        s = c if isinstance(c, str) else c._jc.toString()  # type: ignore[union-attr]
+        parts = s.split()
+        terms.append((parts[0], "DESC" if "DESC" in parts else "ASC"))
+    return terms
+
+
+def _order_sql(terms: list[tuple[str, str]]) -> str:
+    return ", ".join(f"{c} {d} NULLS LAST" for c, d in terms)
+
+
+def _beats_pred(terms: list[tuple[str, str]]) -> str:
+    """Lexicographic 'incoming sorts strictly before current' predicate
+    over the priority terms: ASC → s.c < t.c, DESC → s.c > t.c, with
+    null-safe equality (<=>) on the prefix — the MERGE-side form of the
+    row_number() winner election."""
+    clauses = []
+    for i, (col, d) in enumerate(terms):
+        eq_prefix = [f"s.{c} <=> t.{c}" for c, _ in terms[:i]]
+        op = ">" if d == "DESC" else "<"
+        clauses.append(" AND ".join(eq_prefix + [f"s.{col} {op} t.{col}"]))
+    return " OR ".join(f"({c})" for c in clauses)
+
+
+def _dedup_source_sql(keys: list[str], terms: list[tuple[str, str]]) -> str:
+    return (
+        "(SELECT * FROM (SELECT src.*, row_number() OVER ("
+        f"PARTITION BY {', '.join(keys)} ORDER BY {_order_sql(terms)}"
+        ") AS _rn FROM incoming_batch src) WHERE _rn = 1) s"
+    )
 
 
 class SnapshotTable:
@@ -70,9 +112,33 @@ class SnapshotTable:
         self.schema = schema
         self.bucket_keys = bucket_keys
         self.n_buckets = n_buckets
+        self.name = os.path.basename(path.rstrip("/"))
+        #: the Iceberg migration contract: every operation appends its
+        #: equivalent Iceberg Spark-SQL statement here (golden-tested).
+        #: 'incoming_batch' stands for the operation's input DataFrame
+        #: registered as a temp view; bounded by the number of commits.
+        self.sql_log: list[str] = [self.iceberg_ddl()]
         os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         self._check_meta()
+
+    # -- Iceberg-equivalence emission ---------------------------------------
+    def iceberg_ddl(self) -> str:
+        """CREATE TABLE with the SAME bucket layout: the manifest
+        protocol's xxhash64 buckets correspond to Iceberg's bucket()
+        partition transform, which is what makes the per-bucket merge
+        pruning carry over.
+
+        Iceberg's bucket transform is single-column, so a composite-key
+        layout maps to bucketing on the LEADING key — merge pruning
+        carries over on that key (the composite xxhash64 here prunes on
+        the full tuple; the Iceberg side trades that for spec
+        compliance)."""
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in self.schema)
+        ddl = f"CREATE TABLE IF NOT EXISTS {self.name} ({cols}) USING iceberg"
+        if self.bucket_keys:
+            ddl += f" PARTITIONED BY (bucket({self.n_buckets}, {self.bucket_keys[0]}))"
+        return ddl
 
     # -- table meta (bucket layout must be consistent across writers) -----
     def _check_meta(self) -> None:
@@ -170,6 +236,9 @@ class SnapshotTable:
         return self._read_files(spark, self.manifest(version))
 
     def append(self, df: DataFrame) -> int:
+        self.sql_log.append(
+            f"INSERT INTO {self.name} SELECT * FROM incoming_batch"
+        )
         return self._commit(self.manifest() + self._write_data(df))
 
     def _affected(self, incoming: DataFrame) -> tuple[list[dict], list[dict]]:
@@ -193,6 +262,12 @@ class SnapshotTable:
         (deterministic ``order_by`` winner), anti-joined against the
         current keys of its colliding buckets only (column-pruned scan),
         and the surviving delta appended as new files."""
+        terms = _order_terms(order_by)
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        self.sql_log.append(
+            f"MERGE INTO {self.name} t USING {_dedup_source_sql(keys, terms)} "
+            f"ON {on} WHEN NOT MATCHED THEN INSERT *"
+        )
         spark = df.sparkSession
         w = Window.partitionBy(*keys).orderBy(
             *[F.col(c).asc_nulls_last() for c in order_by]
@@ -233,20 +308,38 @@ class SnapshotTable:
         nodes, where a crawled record must beat a mention-minted stub no
         matter which bucket commits first (INSERT IGNORE + ON DUP KEY
         UPDATE combined semantics, chengyu_mysql.py:162-221)."""
+        terms = _order_terms(priority)
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        self.sql_log.append(
+            f"MERGE INTO {self.name} t USING {_dedup_source_sql(keys, terms)} "
+            f"ON {on} WHEN MATCHED AND ({_beats_pred(terms)}) THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
         return self._merge_rewrite(df, keys, list(priority))
 
     def merge_upsert(self, df: DataFrame, keys: list[str], order_by: list) -> int:
         """MERGE INTO: new rows win over existing rows on key collision,
         ties broken by the deterministic ``order_by`` columns. Replay-safe:
         merging the same df twice is a no-op."""
+        terms = _order_terms(order_by)
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        self.sql_log.append(
+            f"MERGE INTO {self.name} t USING {_dedup_source_sql(keys, terms)} "
+            f"ON {on} WHEN MATCHED THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
         order = [F.col("_gen").desc()] + [F.col(c).asc_nulls_last() for c in order_by]
         return self._merge_rewrite(df, keys, order)
 
     def overwrite(self, df: DataFrame) -> int:
+        self.sql_log.append(
+            f"INSERT OVERWRITE {self.name} SELECT * FROM incoming_batch"
+        )
         return self._commit(self._write_data(df))
 
     def truncate(self, spark: SparkSession) -> int:
         """S17 admin operation (clear_crawled_data.py:34-83)."""
+        self.sql_log.append(f"TRUNCATE TABLE {self.name}")
         return self._commit([])
 
     # -- maintenance (Iceberg rewrite_data_files / expire_snapshots) ---------
@@ -257,6 +350,9 @@ class SnapshotTable:
         growth — a periodic compaction (Iceberg's rewrite_data_files)
         caps reader-side file listing and footer overhead. Old snapshots
         remain readable until expired."""
+        self.sql_log.append(
+            f"CALL system.rewrite_data_files(table => '{self.name}')"
+        )
         current = self.read(spark)
         return self._commit(self._write_data(current))
 
@@ -265,6 +361,10 @@ class SnapshotTable:
         delete data files no retained manifest references (Iceberg's
         expire_snapshots). Returns the number of data files deleted.
         Time travel remains available for retained versions."""
+        self.sql_log.append(
+            f"CALL system.expire_snapshots(table => '{self.name}', "
+            f"retain_last => {keep_last})"
+        )
         current = self.current_version()
         if current is None:
             return 0

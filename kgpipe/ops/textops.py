@@ -633,6 +633,7 @@ def prepare_training_corpus(
     span_n: int = 8,
     span_min_docs: int = 2,
     text_col: str = "text",
+    decisions: DataFrame | None = None,
 ) -> DataFrame:
     """The full corpus-preparation product, end to end: (1) filter by
     quality floor, repetition ceiling and near-dup cluster survivorship
@@ -662,16 +663,22 @@ def prepare_training_corpus(
     blocks are executor-local (see ``duplicate_ngram_spans`` for the
     fault-tolerance trade-off and the reliable-checkpoint alternative a
     restart-intolerant 100 TB deployment should substitute).
+
+    ``decisions``: pass an already-computed ``clean_corpus`` frame
+    (same filter params) to reuse it instead of re-deriving — the
+    natural composition when a pipeline inspects the keep decisions AND
+    prepares the corpus in one run. The filter kwargs are ignored then.
     """
-    decisions = clean_corpus(
-        docs,
-        min_quality=min_quality,
-        max_repetition=max_repetition,
-        rep_n=rep_n,
-        k=k,
-        num_hashes=num_hashes,
-        bands=bands,
-    )
+    if decisions is None:
+        decisions = clean_corpus(
+            docs,
+            min_quality=min_quality,
+            max_repetition=max_repetition,
+            rep_n=rep_n,
+            k=k,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
     keep_ids = (
         decisions.where(F.col("keep")).select("doc_id").localCheckpoint(eager=False)
     )

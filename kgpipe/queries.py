@@ -842,11 +842,31 @@ def doc_fingerprint(spark, sf):
     return textops.fingerprint(_t(spark, sf, "documents"))
 
 
+_DECISIONS_CACHE: dict = {}
+
+
+def _clean_decisions(spark, sf):
+    """clean_corpus decisions shared by the two gate entries that need
+    them (corpus_clean_decisions, prepare_training_corpus) — same
+    session-scoped reuse pattern as _kg_graph: the LSH + CC + fused
+    signal lineage is the expensive part of both, and the driver gate
+    runs every entry back-to-back. Pinned with a lazy localCheckpoint so
+    it materializes once at the first consuming action."""
+    key = (spark.sparkContext.applicationId, sf)
+    hit = _DECISIONS_CACHE.get(key)
+    if hit is None:
+        hit = textops.clean_corpus(_t(spark, sf, "documents")).localCheckpoint(
+            eager=False
+        )
+        _DECISIONS_CACHE[key] = hit
+    return hit
+
+
 @_q("corpus_clean_decisions")
 def corpus_clean_decisions(spark, sf):
     # the end-to-end training-data filter: quality + repetition +
     # near-dup survivorship composed into one keep decision per document
-    return textops.clean_corpus(_t(spark, sf, "documents"))
+    return _clean_decisions(spark, sf)
 
 
 @_lazy_oracle("corpus_clean_decisions")
@@ -868,8 +888,11 @@ FROM ql JOIN rep USING (doc_id) JOIN clus USING (doc_id)
 def prepare_training_corpus(spark, sf):
     # the full corpus-prep product: filter (quality + repetition +
     # near-dup survivorship) -> keep-first span cut among survivors ->
-    # hash-stratified split; the frame a tokenizer/trainer consumes
-    return textops.prepare_training_corpus(_t(spark, sf, "documents"))
+    # hash-stratified split; the frame a tokenizer/trainer consumes.
+    # reuses the session-cached decisions frame (decisions= parameter)
+    return textops.prepare_training_corpus(
+        _t(spark, sf, "documents"), decisions=_clean_decisions(spark, sf)
+    )
 
 
 @_lazy_oracle("prepare_training_corpus")
@@ -1098,20 +1121,24 @@ def _kg_graph(spark, full_hanzi_properties: bool = False):
     entry back-to-back in one session, and each of these used to rebuild
     the full pipeline from the same deterministic corpus — the dominant
     per-entry cost, and the likely reason the round-4 driver sampler
-    dropped entries. Keyed by (applicationId, section-mode) so a repeat
+    dropped entries. ONE build serves every mode: full-section parsing
+    only enriches the node ``properties`` JSON (S11) — triples, edges
+    and the projected node columns are identical either way (the five
+    oracles verify exactly that) — so the cache always builds with
+    ``full_hanzi_properties=True``. Keyed by applicationId so a repeat
     call in the same Spark application reuses the first build; the
     result frames are pinned with lazy localCheckpoints so each
     materializes once at its first consuming action and every later
     query reads the blocks. The cache holds ONE tiny fixed-size corpus
     graph (100 entities) — not a scale concern."""
-    key = (spark.sparkContext.applicationId, full_hanzi_properties)
+    key = spark.sparkContext.applicationId
     hit = _KG_GRAPH_CACHE.get(key)
     if hit is not None:
         return hit
     from kgpipe.pipeline import build_graph
 
     cdf, sdf = _kg_corpus(spark)
-    g = build_graph(spark, cdf, sdf, full_hanzi_properties=full_hanzi_properties)
+    g = build_graph(spark, cdf, sdf, full_hanzi_properties=True)
     g.triples = g.triples.localCheckpoint(eager=False)
     g.nodes = g.nodes.localCheckpoint(eager=False)
     g.edges = g.edges.localCheckpoint(eager=False)

@@ -60,13 +60,18 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    import time
+
+    timings = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            timings[name] = round(time.time() - t0, 2)
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
             failures += 1
@@ -99,6 +104,10 @@ def main() -> int:
         else:
             print(f"ok    {name}: {len(sn)} rows match")
     spark.stop()
+    if os.environ.get("CONTRACT_TIMINGS"):
+        for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+            print(f"time  {name}: {sec}s")
+        print(f"time  TOTAL-spark: {round(sum(timings.values()), 2)}s")
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
