@@ -86,6 +86,7 @@ def test_crash_resume_converges(spark, frames, tmp_path):
     assert wh.edges.read(spark).count() == clean.edges.read(spark).count()
 
 
+@pytest.mark.slow
 def test_rerun_is_noop(spark, frames, tmp_path):
     cdf, sdf = frames
     root = str(tmp_path / "wh2")
@@ -111,6 +112,7 @@ def test_snapshot_isolation_and_truncate(spark, tmp_path):
     assert t.read(spark).count() == 0
 
 
+@pytest.mark.slow
 def test_run_scoped_checkpoints_and_bucket_mismatch(spark, frames, tmp_path):
     """Resume is scoped to (run_id, n_buckets): another run_id is a fresh
     sweep; a different n_buckets for a recorded run fails loudly instead
@@ -230,6 +232,7 @@ def test_termination_vocabulary_reachable(spark, frames, tmp_path):
     assert reasons == ["manual_exit"]
 
 
+@pytest.mark.slow
 def test_sweep_gap_accounting(spark, frames, tmp_path):
     """S7: codepoints in the sweep range with no zidian page are counted
     as missing (reference hanyuguoxue.py:1146-1242) — plant a hole and

@@ -50,6 +50,7 @@ def test_entry_smoke(spark):
 
 
 @needs_testdata
+@pytest.mark.slow
 def test_all_queries_run_and_match_oracles(spark, duck):
     import __spark_entry__ as mod
 

@@ -240,6 +240,7 @@ def test_full_section_properties_roundtrip(spark, small_corpus, tmp_path):
     assert "basic_info" in one and "yisi_info" not in one
 
 
+@pytest.mark.slow
 def test_full_mode_section_pinyin_evidence(spark):
     """Full-fidelity mode widens has-pinyin evidence to the per-reading
     pinyin of the unpruned sections (reference extract_guoyu.py:25-220 →

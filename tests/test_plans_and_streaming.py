@@ -344,6 +344,7 @@ def test_full_graph_stream_matches_batch(spark, small_corpus, tmp_path):
     assert "yisi_info" in props and "guoyu_info" in props and "evolution_data" in props
 
 
+@pytest.mark.slow
 def test_stream_seeds_hanzi_dim_from_preexisting_warehouse(
     spark, small_corpus, tmp_path
 ):
@@ -426,6 +427,7 @@ def test_stateful_streaming_dedup_across_batches(spark, tmp_path):
     assert by_key[(1, 2, "synonym")][0] == 2
 
 
+@pytest.mark.slow
 def test_streaming_matches_batch(spark, small_corpus, tmp_path):
     """availableNow stream over the corpus directory must produce exactly
     the batch pipeline's synonym/antonym edge set, and replaying the
