@@ -87,7 +87,10 @@ def connected_components(
 #: coverage, a few MB), while the DataFrame loop costs ~2 driver-side plan
 #: compilations + jobs per iteration — pure serial overhead at any scale.
 #: The collect is IDS-ONLY (two longs per edge — names never cross the
-#: driver): 1M edges ≈ 150 MB of Python tuples, measured in BENCH.md.
+#: driver): 1M edges measured at ~334 MB driver RSS (Row objects; the
+#: 4-column named collect it replaced measured ~560 MB on short synthetic
+#: names — see BENCH.md round-5 note), well inside any production driver
+#: heap and freed as soon as the union-find result uploads.
 DRIVER_CC_MAX_EDGES = 1_000_000
 
 
