@@ -693,6 +693,127 @@ def prepare_training_corpus(
 
 
 # ---------------------------------------------------------------------------
+# sequence packing / PII scrub / source-mixture sampling
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing — the GPT-style training
+    layout: documents are concatenated into a token stream and cut into
+    fixed ``seq_len``-token training sequences (documents may span a
+    boundary). Returns per document: its pack bucket, its token offset
+    in the bucket's stream, and the first/last sequence index it lands
+    in — the manifest a sequence-building job shards by (bucket,
+    seq_no).
+
+    Deterministic AND scale-safe: a global concatenation order would
+    need a full sort, so the stream is split into ``n_buckets``
+    independent streams by the leading md5 byte pair of the id (the
+    ``stratified_split`` trick — growth- and partitioning-invariant),
+    and each bucket packs in doc_id order. The only shuffle is the
+    window over the uniform bucket key; per-bucket sort state is
+    |corpus|/n_buckets. Token counts are whitespace tokens (swap the
+    tokenizer by passing a pre-tokenized count column upstream).
+    Returns (doc_id, bucket, n_tokens, tok_offset, start_seq, end_seq).
+    """
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: F.length(t) > 0
+        )
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        ),
+        F.lit(n_buckets),
+    ).cast("int")
+    staged = docs.select("doc_id", bucket.alias("bucket"), toks.alias("n_tokens"))
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    offset = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    start_seq = F.floor(offset / seq_len).cast("long")
+    end_seq = F.floor(
+        (offset + F.greatest(F.col("n_tokens") - 1, F.lit(0))) / seq_len
+    ).cast("long")
+    return staged.select(
+        "doc_id", "bucket", "n_tokens", offset.alias("tok_offset"),
+        start_seq.alias("start_seq"), end_seq.alias("end_seq"),
+    )
+
+
+#: (pattern, replacement) redaction rules — the regex subset shared by
+#: Java (Spark) and RE2 (DuckDB/Go) so the operator is oracle-checkable
+#: and engine-portable. Order matters: emails before phones (digits in
+#: local parts), IPs before phones (shared digit runs).
+PII_RULES: tuple = (
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("\\+?\\d[\\d\\- ]{7,}\\d", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction over the corpus: emails, IPv4 addresses and
+    phone-like digit runs replaced by typed placeholder tokens, with a
+    per-document redaction count — the pre-training scrub pass run
+    before any corpus leaves the trust boundary.
+
+    Fully row-local (zero shuffle, whole-stage-codegen'd regex chain);
+    rules are applied sequentially in PII_RULES order and each rule
+    counts its matches on the text AS ALREADY SCRUBBED by the earlier
+    rules — n_redactions is exactly the number of replacements
+    performed, with overlapping matches resolved deterministically by
+    rule order. Returns (doc_id, scrubbed_text, n_redactions).
+    """
+    scrubbed = F.col(text_col)
+    n_red = F.lit(0)
+    for pat, repl in PII_RULES:
+        n_red = n_red + F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select(
+        "doc_id", scrubbed.alias("scrubbed_text"), n_red.cast("int").alias("n_redactions")
+    )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    rates: dict,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-source downsampling to target rates — the
+    domain-mixture knob of a training-data pipeline (e.g. keep 100% of
+    books, 30% of common-crawl). A document is kept iff its id-hash
+    uniform u(id) < rate(source); like ``stratified_split`` the decision
+    is a pure row-local function of the id, so it is reproducible at any
+    parallelism, stable as the corpus grows, and consistent across
+    engines that agree on md5.
+
+    u(id) = first 8 md5 hex chars / 16^8 — uniform on [0,1) with 32 bits
+    of resolution. ``rates`` is a small source→rate dict rendered into a
+    when-chain (no join at all — the mixture table is bounded by the
+    source vocabulary). Returns the kept rows of ``docs`` unchanged.
+    """
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16 ** 8))
+    rate = None
+    for src, r in sorted(rates.items()):
+        cond = F.col(source_col) == src
+        rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(
+            cond, F.lit(float(r))
+        )
+    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(
+        F.lit(float(default_rate))
+    )
+    return docs.where(u < rate)
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

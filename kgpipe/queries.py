@@ -708,6 +708,97 @@ def ngram_contamination(spark, sf):
     return textops.ngram_contamination(docs, probes, n=8)
 
 
+_PACK_ORACLE = """
+WITH staged AS (
+  SELECT doc_id,
+    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 8 AS INT) AS bucket,
+    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)) AS INT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, bucket, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens AS BIGINT) AS tok_offset
+  FROM staged
+)
+SELECT doc_id, bucket, n_tokens, tok_offset,
+  CAST(floor(tok_offset / 64.0) AS BIGINT) AS start_seq,
+  CAST(floor((tok_offset + greatest(n_tokens - 1, 0)) / 64.0) AS BIGINT) AS end_seq
+FROM cum
+"""
+
+
+@_q("pack_sequences", _PACK_ORACLE)
+def pack_sequences(spark, sf):
+    # concat-then-chunk training-sequence packing manifest: 64-token
+    # sequences over 8 independent hash-bucketed streams
+    return textops.pack_sequences(
+        _t(spark, sf, "documents"), seq_len=64, n_buckets=8
+    )
+
+
+def _pii_augmented_sql(engine: str) -> str:
+    """Both sides synthesize the SAME deterministic PII into the corpus
+    text (the synthetic documents carry none), so the gate checks real
+    redactions instead of a no-op pass-through."""
+    return (
+        "concat(text, ' contact user', CAST(doc_id AS VARCHAR), "
+        "'@example.com at 10.0.0.1 or +12 3456 7890')"
+        if engine == "duckdb"
+        else "concat(text, ' contact user', CAST(doc_id AS STRING), "
+        "'@example.com at 10.0.0.1 or +12 3456 7890')"
+    )
+
+
+_PII_ORACLE = f"""
+WITH aug AS (SELECT doc_id, {_pii_augmented_sql('duckdb')} AS text FROM documents),
+s1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS c1,
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t1
+  FROM aug
+), s2 AS (
+  SELECT doc_id, c1,
+    len(regexp_extract_all(t1, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS c2,
+    regexp_replace(t1, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, c1, c2,
+    len(regexp_extract_all(t2, '\\+?\\d[\\d\\- ]{{7,}}\\d')) AS c3,
+    regexp_replace(t2, '\\+?\\d[\\d\\- ]{{7,}}\\d', '<PHONE>', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, t3 AS scrubbed_text, CAST(c1 + c2 + c3 AS INT) AS n_redactions FROM s3
+"""
+
+
+@_q("pii_scrub", _PII_ORACLE)
+def pii_scrub(spark, sf):
+    # PII redaction gate over deterministically-injected emails/IPs/
+    # phones (the synthetic corpus carries none of its own)
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_pii_augmented_sql("spark")).alias("text")
+    )
+    return textops.pii_scrub(docs)
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+SELECT doc_id, source FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0
+  < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 ELSE 0.1 END)
+"""
+
+
+@_q("weighted_sample", _WEIGHTED_SAMPLE_ORACLE)
+def weighted_sample(spark, sf):
+    # deterministic domain-mixture downsampling: keep 100% of src0, 50%
+    # of src1, 25% of src2, 10% of the long tail — reproducible at any
+    # parallelism and stable as the corpus grows
+    return textops.weighted_sample(
+        _t(spark, sf, "documents"),
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    ).select("doc_id", "source")
+
+
 _VOCAB_ORACLE = """
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)) AS token

@@ -698,3 +698,81 @@ def test_canonical_mapping_distributed_branch_matches_driver(spark, monkeypatch)
         (1, 2, "a"), (2, 2, "a"), (3, 2, "a"),  # canonical = smallest NAME
         (10, 11, "y"), (11, 11, "y"),
     }
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: sequence packing, PII scrub, mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_stream_semantics(spark):
+    """Concat-then-chunk packing: within a bucket, offsets are the
+    doc_id-ordered cumulative token counts and sequence spans follow
+    from integer division; documents crossing a 10-token boundary span
+    two sequences."""
+    rows = [(i, " ".join(["w"] * n)) for i, n in [(1, 4), (2, 8), (3, 9), (4, 0)]]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in textops.pack_sequences(docs, seq_len=10, n_buckets=1).collect()
+    }
+    assert [out[i].tok_offset for i in (1, 2, 3, 4)] == [0, 4, 12, 21]
+    assert (out[1].start_seq, out[1].end_seq) == (0, 0)
+    assert (out[2].start_seq, out[2].end_seq) == (0, 1)  # spans the boundary
+    assert (out[3].start_seq, out[3].end_seq) == (1, 2)
+    assert (out[4].start_seq, out[4].end_seq) == (2, 2)  # empty doc: point span
+    # bucketed run partitions the stream but keeps per-bucket invariants
+    many = spark.createDataFrame(
+        [(i, "a b c") for i in range(100)], "doc_id long, text string"
+    )
+    packed = textops.pack_sequences(many, seq_len=7, n_buckets=4).collect()
+    by_bucket = {}
+    for r in packed:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for rs in by_bucket.values():
+        rs.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rs:
+            assert r.tok_offset == off
+            off += r.n_tokens
+
+
+def test_pii_scrub(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.org today"),
+            (2, "server 192.168.0.1 port open, call +44 7700 900123 now"),
+            (3, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.pii_scrub(docs).collect()}
+    assert out[1].scrubbed_text == "mail me at <EMAIL> today"
+    assert out[1].n_redactions == 1
+    assert out[2].scrubbed_text == "server <IP> port open, call <PHONE> now"
+    assert out[2].n_redactions == 2
+    assert out[3].scrubbed_text == docs.collect()[2].text
+    assert out[3].n_redactions == 0
+
+
+def test_weighted_sample_deterministic_rates(spark):
+    docs = spark.createDataFrame(
+        [(i, ["keep_all", "half", "drop_most"][i % 3]) for i in range(3000)],
+        "doc_id long, source string",
+    )
+    rates = {"keep_all": 1.0, "half": 0.5, "drop_most": 0.0}
+    kept = textops.weighted_sample(
+        docs, rates, default_rate=0.1
+    ).groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in kept}
+    assert counts["keep_all"] == 1000  # rate 1.0 keeps everything
+    assert "drop_most" not in counts  # rate 0.0 keeps nothing
+    assert 400 <= counts["half"] <= 600  # md5-uniform ≈ binomial(1000, .5)
+    # decision is a pure function of the id: identical at any partitioning
+    again = {
+        r.doc_id
+        for r in textops.weighted_sample(docs.repartition(13), rates).collect()
+    }
+    assert again == {
+        r.doc_id for r in textops.weighted_sample(docs, rates).collect()
+    }

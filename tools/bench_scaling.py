@@ -101,11 +101,11 @@ def main() -> None:
     lines.append("")
 
     bench_md = os.path.join(REPO, "BENCH.md")
-    prev = ""
+    # APPEND a new dated section — earlier measurements and their
+    # attribution notes are the attempt history and must survive reruns
+    prev = "# BENCH — scaling measurements\n\nSee BASELINE.md for the protocol."
     if os.path.exists(bench_md):
-        prev = open(bench_md).read().split("\n## Measured scaling results")[0].rstrip()
-    else:
-        prev = "# BENCH — scaling measurements\n\nSee BASELINE.md for the protocol."
+        prev = open(bench_md).read().rstrip()
     with open(bench_md, "w") as fh:
         fh.write(prev + "\n" + "\n".join(lines))
     print(f"wrote {bench_md}")
