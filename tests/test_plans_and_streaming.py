@@ -462,3 +462,20 @@ def test_streaming_matches_batch(spark, small_corpus, tmp_path):
     assert {
         (r.src_name, r.dst_name, r.rel_type) for r in wh.edges.read(spark).collect()
     } == streamed
+
+
+def test_pack_sequences_no_global_sort(spark):
+    """Sequence packing must never range-partition the corpus (a global
+    sort is the naive concat-order implementation): the only exchange is
+    the hash partitioning on the uniform pack bucket, and sorting is
+    per-partition within it."""
+    from kgpipe.ops import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    import re
+
+    plan = plans.physical_plan(textops.pack_sequences(docs, seq_len=64, n_buckets=8))
+    assert "rangepartitioning" not in plan.lower(), plan
+    # exactly one Exchange NODE (each node prints twice: tree + detail)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "hashpartitioning(bucket" in plan, plan
