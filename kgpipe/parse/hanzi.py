@@ -560,6 +560,60 @@ _SECTION_FNS = {
 
 ALL_SECTIONS = tuple(_SECTION_FNS)
 
+#: section → its card's data-id (hanyuguoxue page vocabulary; evolution
+#: runs on raw html and needs no card)
+_SECTION_CARD_ID = {
+    "basic_info": "基本信息",
+    "gaishu_info": "概述",
+    "yisi_info": "意思",
+    "fanyi_info": "翻译",
+    "guoyu_info": "国语辞典",
+    "liangan_info": "两岸词典",
+}
+
+#: the hot-path pruned section sets eligible for card slicing: flat
+#: cards whose subtrees provably contain no nested data-id markers (the
+#: 意思-family cards can nest sub-blocks, so they always take the full
+#: parse).
+_SLICE_SAFE = {"basic_info", "fanyi_info", "evolution_data"}
+
+_CARD_MARK = re.compile(r'(?=<div\b[^>]*?\bdata-id=")')
+_CARD_ID = re.compile(r'<div\b[^>]*?\bdata-id="([^"]+)"')
+
+
+def _slice_cards(html: str, sections: tuple) -> Optional[str]:
+    """DOM-input pruning for the pipeline hot path: cut the page down to
+    just the wanted sections' card blocks BEFORE DOM construction — the
+    full-page DOM parse is ~85% of the pruned parse cost (BENCH.md
+    round-5 profile: the zidian pandas-UDF stage is the pipeline's
+    second-biggest cost center), and the hot path reads 2 of 7 cards.
+
+    Returns None (→ caller falls back to the full parse, output
+    unchanged) unless the page is positively sliceable: every wanted
+    section is slice-safe AND every wanted card's marker is found. A
+    card block runs to the next data-id marker, so sibling-card layout
+    is assumed — guaranteed by the fallback test
+    (test_pruned_slice_equals_full_parse)."""
+    if not set(sections) <= _SLICE_SAFE:
+        return None
+    wanted = {_SECTION_CARD_ID[s] for s in sections if s in _SECTION_CARD_ID}
+    if not wanted:
+        return None
+    parts = _CARD_MARK.split(html)
+    if len(parts) <= 1:
+        return None
+    kept, found = [], set()
+    for part in parts[1:]:
+        m = _CARD_ID.match(part)
+        if m is None:
+            continue
+        found.add(m.group(1))
+        if m.group(1) in wanted:
+            kept.append(part)
+    if not wanted <= found:
+        return None  # a wanted card is missing → conservative full parse
+    return "".join(kept)
+
 
 def parse_hanzi_html(
     html: str, url: Optional[str] = None, sections: tuple = ALL_SECTIONS
@@ -567,10 +621,13 @@ def parse_hanzi_html(
     """Parse a zidian page; ``sections`` is the parser-level projection
     pushdown — callers that consume only a subset of the 7 sections (the
     KG pipeline needs basic_info + fanyi_info) skip the extraction AND
-    the serialization of the rest. Skipped sections are absent from the
-    result dict (the UDF adapter emits them as NULL structs)."""
+    the serialization of the rest, and (for slice-safe subsets) the DOM
+    parse itself runs over only the wanted cards (``_slice_cards``).
+    Skipped sections are absent from the result dict (the UDF adapter
+    emits them as NULL structs)."""
     try:
-        doc = parse_html(html)
+        sliced = _slice_cards(html, sections)
+        doc = parse_html(html if sliced is None else sliced)
         out = {"url": url, "unicode_decimal": codepoint_from_path(url or "")}
         for name in sections:
             out[name] = _SECTION_FNS[name](doc, html)

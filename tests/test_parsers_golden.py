@@ -250,3 +250,48 @@ def test_parse_failure_shape():
 def test_codepoint_from_path():
     assert H.codepoint_from_path("zidian/zi-29579") == 29579
     assert H.codepoint_from_path("cidian/foo") is None
+
+
+def test_pruned_slice_equals_full_parse(small_corpus):
+    """Round-5 hot-path optimization guard: the card-slicing DOM-input
+    pruning (_slice_cards) must be output-invariant — the pruned parse
+    over the sliced page equals the full parse restricted to the pruned
+    sections, for every synthetic zidian page."""
+    pages = [
+        (r["path"], r["content"])
+        for r in small_corpus.rows
+        if r["path"].startswith("zidian/")
+    ]
+    assert pages
+    for p, html in pages:
+        assert H._slice_cards(html, ("basic_info", "fanyi_info")) is not None
+        pruned = H.parse_hanzi_html(html, p, sections=("basic_info", "fanyi_info"))
+        full = H.parse_hanzi_html(html, p)
+        for k in ("url", "unicode_decimal", "basic_info", "fanyi_info"):
+            assert pruned.get(k) == full.get(k), (p, k)
+
+
+@needs_reference
+def test_pruned_slice_on_reference_card_markup():
+    """The slicer must handle REAL hanyuguoxue card markup (class lists
+    with extra tokens: <div class="card pb-3" data-id=...>): wrap the
+    reference's embedded 王 basic_info card into a multi-card page and
+    check the sliced pruned parse equals the full parse."""
+    card = _ref_fixture("hanzi/extract_basic_info.py")
+    page = (
+        '<html><body><div class="page-head">chrome</div>'
+        + card
+        + '<div class="card pb-3" data-id="意思"><div class="content-card-body">x</div></div>'
+        + '<div class="card pb-3" data-id="翻译"><div class="content-card-body">'
+        + '<ol class="zi-fanyi"><li>英语: king</li></ol></div></div>'
+        + "</body></html>"
+    )
+    sliced = H._slice_cards(page, ("basic_info", "fanyi_info"))
+    assert sliced is not None and "意思" not in sliced.split('data-id="')[0]
+    pruned = H.parse_hanzi_html(page, "zidian/zi-29579", sections=("basic_info", "fanyi_info"))
+    full = H.parse_hanzi_html(page, "zidian/zi-29579")
+    assert pruned["basic_info"] == full["basic_info"]
+    assert pruned["fanyi_info"] == full["fanyi_info"]
+    assert pruned["basic_info"]["data"]["character"] == "王"
+    # a page missing a wanted card falls back (None) — never mis-slices
+    assert H._slice_cards("<html><p>no cards</p></html>", ("basic_info",)) is None
