@@ -69,3 +69,47 @@ def test_find_all_consistent_with_find(html, tag):
     assert (first is None) == (len(all_hits) == 0)
     if all_hits:
         assert first is all_hits[0]
+
+
+# card-soup generator: random card blocks (wanted and unwanted ids, some
+# nested/truncated markup) — the slicer must either slice with IDENTICAL
+# pruned output or fall back to the full parse, never diverge
+_CARD_BITS = st.sampled_from(
+    [
+        '<div class="card" data-id="基本信息"><div class="zi-title"><h2>王</h2></div></div>',
+        '<div class="card pb-3" data-id="翻译"><ol class="zi-fanyi"><li>英语: king</li></ol></div>',
+        '<div class="card" data-id="意思"><p>x</p></div>',
+        '<div class="card" data-id="概述">s</div>',
+        '<div class="page-head">chrome</div>',
+        '<div class="card" data-id="基本信息">',  # truncated card
+        "loose text",
+        "</div>",
+        '<div data-id="翻译">alt-form</div>',
+    ]
+)
+_CARD_SOUP = st.lists(_CARD_BITS, max_size=12).map("".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_CARD_SOUP)
+def test_slice_cards_never_diverges(html):
+    """_slice_cards is an OPTIMIZATION: whenever it slices (non-None),
+    the pruned parse over the slice must equal the pruned parse over the
+    full page — for arbitrary card soups including truncated/nested
+    markup."""
+    from kgpipe.parse.hanzi import _slice_cards
+
+    sections = ("basic_info", "fanyi_info")
+    sliced = _slice_cards(html, sections)
+    via_operator = parse_hanzi_html(html, "p", sections=sections)
+    if sliced is None:
+        return  # fell back — trivially identical
+    import kgpipe.parse.hanzi as H
+
+    orig = H._slice_cards
+    H._slice_cards = lambda *a, **k: None  # force the full-parse path
+    try:
+        full = parse_hanzi_html(html, "p", sections=sections)
+    finally:
+        H._slice_cards = orig
+    assert via_operator == full
