@@ -1364,6 +1364,43 @@ def _kg_variant_components_oracle() -> str:
 
 
 # ===========================================================================
+# code-KG family — triples over the BASELINE.json input_hint table shape
+# (repo, path, commit, lang, content); oracled by an independent
+# pure-Python re-application of the same patterns rendered as VALUES
+# ===========================================================================
+
+
+@_q("code_kg_triples")
+def code_kg_triples(spark, sf):
+    from kgpipe.ops import codeops
+    from kgpipe.schemas import CORPUS_SCHEMA  # (repo,path,commit,lang,content)
+
+    files = spark.createDataFrame(codeops.synthetic_source_files(), CORPUS_SCHEMA)
+    return codeops.code_triples(files)
+
+
+@_lazy_oracle("code_kg_triples")
+def _code_kg_triples_oracle() -> str:
+    """Independent oracle: Python ``re`` (not the JVM) applies the same
+    per-language patterns to the same deterministic file table."""
+    import re as _re
+
+    from kgpipe.ops import codeops
+
+    out = set()
+    for repo, path, commit, lang, content in codeops.synthetic_source_files():
+        for pats, pred in (
+            (codeops._IMPORT_PATTERNS.get(lang, ()), "imports-module"),
+            (codeops._DEFINE_PATTERNS.get(lang, ()), "defines-symbol"),
+        ):
+            for p in pats:
+                for m in _re.findall(p, content):
+                    out.add((path, pred, m))
+    rows = [(_sq(s), _sq(p), _sq(o)) for s, p, o in sorted(out)]
+    return _values_table(rows, ["subj", "pred", "obj"])
+
+
+# ===========================================================================
 # multimodal plumbing — the stub codecs are pure functions of the payload
 # bytes and ``synthetic_media`` is deterministic, so the expected output is
 # computable independently (hashlib, not the JVM) and compared exactly.

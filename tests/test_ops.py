@@ -776,3 +776,37 @@ def test_weighted_sample_deterministic_rates(spark):
     assert again == {
         r.doc_id for r in textops.weighted_sample(docs, rates).collect()
     }
+
+
+def test_code_import_and_define_edges(spark):
+    """Code-KG family over the input_hint table shape: per-language
+    dispatch is a column predicate, top-level-only matching (commented /
+    indented imports ignored), duplicates collapsed."""
+    from kgpipe.ops import codeops
+    from kgpipe.schemas import CORPUS_SCHEMA
+
+    rows = [
+        ("r", "a.py", "c1", "python",
+         "import os\nimport os\n# import nope\n  import nope2\nfrom x.y import z\ndef f():\n    pass\nclass K:\n    pass\n"),
+        ("r", "B.java", "c1", "java", "import java.util.Map;\nimport static a.b.C.d;\n"),
+        ("r", "m.go", "c1", "go", 'import "fmt"\n'),
+        ("r", "t.txt", "c1", "text", "import not_code\n"),  # unknown lang: no edges
+    ]
+    files = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    imports = {
+        (r.path, r.module) for r in codeops.import_edges(files).collect()
+    }
+    assert imports == {
+        ("a.py", "os"), ("a.py", "x.y"),
+        ("B.java", "java.util.Map"), ("B.java", "a.b.C.d"),
+        ("m.go", "fmt"),
+    }
+    defs = {(r.path, r.symbol) for r in codeops.defined_symbols(files).collect()}
+    assert defs == {("a.py", "f"), ("a.py", "K")}
+    triples = codeops.code_triples(files)
+    assert triples.columns == ["subj", "pred", "obj"]
+    assert triples.count() == len(imports) + len(defs)
+    # hot path stays native: no Python evaluation anywhere in the plan
+    from kgpipe import plans
+
+    plans.assert_arrow_only_python(triples)
