@@ -296,3 +296,32 @@ def test_replay_idempotence(spark, small_corpus, graph):
     )
     merged = dedup_edges(twice).drop("lineage")
     assert merged.count() == graph.edges.count()
+
+
+def test_gate_corpus_triples_mode_invariant(spark):
+    """The correctness gate serves kg_triples from ONE full-properties
+    build (_kg_graph always builds full — one pipeline run for five
+    entries). That is sound only while the GATE corpus yields identical
+    triples in both modes (full mode widens has-pinyin evidence only
+    when a section carries a reading absent from basic_info, which this
+    corpus never does — see test_full_mode_section_pinyin_evidence for
+    the widening case). Pin the assumption: if the corpus generator ever
+    changes, this fails loudly instead of the oracle silently drifting."""
+    from kgpipe.pipeline import build_graph
+    from kgpipe.queries import _KG_CORPUS_PARAMS, _kg_corpus
+
+    cdf, sdf = _kg_corpus(spark)
+    pruned = {
+        tuple(r)
+        for r in build_graph(spark, cdf, sdf, cache=False).triples.collect()
+    }
+    full = {
+        tuple(r)
+        for r in build_graph(
+            spark, cdf, sdf, cache=False, full_hanzi_properties=True
+        ).triples.collect()
+    }
+    assert pruned == full, (
+        f"gate corpus {_KG_CORPUS_PARAMS} no longer mode-invariant: "
+        f"{len(full - pruned)} extra / {len(pruned - full)} missing in full mode"
+    )
