@@ -579,6 +579,8 @@ _SLICE_SAFE = {"basic_info", "fanyi_info", "evolution_data"}
 
 _CARD_MARK = re.compile(r'(?=<div\b[^>]*?\bdata-id=")')
 _CARD_ID = re.compile(r'<div\b[^>]*?\bdata-id="([^"]+)"')
+_DIV_OPEN = re.compile(r"<div\b")
+_DIV_CLOSE = re.compile(r"</div\b")
 
 
 def _slice_cards(html: str, sections: tuple) -> Optional[str]:
@@ -590,10 +592,16 @@ def _slice_cards(html: str, sections: tuple) -> Optional[str]:
 
     Returns None (→ caller falls back to the full parse, output
     unchanged) unless the page is positively sliceable: every wanted
-    section is slice-safe AND every wanted card's marker is found. A
-    card block runs to the next data-id marker, so sibling-card layout
-    is assumed — guaranteed by the fallback test
-    (test_pruned_slice_equals_full_parse)."""
+    section is slice-safe, every wanted card's marker is found, AND
+    every marker block is div-balanced. A card block runs to the next
+    data-id marker, so slicing assumes sibling-card layout; the balance
+    check is what proves it per page — a card NESTING another card (or
+    any div scope crossing a marker boundary) leaves some block with
+    unmatched <div>/</div> counts, because dropping such a block would
+    also drop close tags belonging to an enclosing kept card (hypothesis
+    found exactly that counterexample; it is now a regression case in
+    test_fuzz_parsers). Guarded end-to-end by
+    test_pruned_slice_equals_full_parse and the never-diverges fuzz."""
     if not set(sections) <= _SLICE_SAFE:
         return None
     wanted = {_SECTION_CARD_ID[s] for s in sections if s in _SECTION_CARD_ID}
@@ -604,6 +612,8 @@ def _slice_cards(html: str, sections: tuple) -> Optional[str]:
         return None
     kept, found = [], set()
     for part in parts[1:]:
+        if len(_DIV_OPEN.findall(part)) != len(_DIV_CLOSE.findall(part)):
+            return None  # div scope crosses a marker boundary → full parse
         m = _CARD_ID.match(part)
         if m is None:
             continue

@@ -113,3 +113,24 @@ def test_slice_cards_never_diverges(html):
     finally:
         H._slice_cards = orig
     assert via_operator == full
+
+
+def test_slice_cards_nested_card_regression():
+    """Hypothesis counterexample, pinned: a 基本信息 card NESTING another
+    card used to lose its close tags when the nested block was dropped,
+    re-rooting a later card inside it. The div-balance gate must refuse
+    to slice this page."""
+    from kgpipe.parse.hanzi import _slice_cards, parse_hanzi_html
+
+    html = (
+        '<div class="card pb-3" data-id="翻译"><ol class="zi-fanyi">'
+        "<li>英语: king</li></ol></div>"
+        '<div class="card" data-id="基本信息">'
+        '<div class="card" data-id="意思"><p>x</p></div></div>'
+        '<div class="card" data-id="基本信息"><div class="zi-title">'
+        "<h2>王</h2></div></div>"
+    )
+    assert _slice_cards(html, ("basic_info", "fanyi_info")) is None
+    out = parse_hanzi_html(html, "p", sections=("basic_info", "fanyi_info"))
+    # full-parse semantics: the FIRST 基本信息 card wins and has no title
+    assert out["basic_info"] == {"error": "zi-title not found"}
