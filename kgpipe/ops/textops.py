@@ -813,6 +813,36 @@ def weighted_sample(
     return docs.where(u < rate)
 
 
+def corpus_source_stats(
+    docs: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source dataset-card aggregates: document count, total
+    whitespace tokens, exact mean document length (chars, 2 dp) and
+    distinct languages — the summary table every corpus release ships
+    with. One hash-agg with map-side partial aggregation on the bounded
+    source key; the token count is a row-local projection fused into the
+    same scan. Returns (source, n_docs, total_tokens, mean_chars,
+    n_langs)."""
+    toks = F.size(
+        F.filter(F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: F.length(t) > 0)
+    )
+    return (
+        docs.select(
+            F.col(source_col).alias("source"),
+            toks.alias("_toks"),
+            F.char_length(F.col(text_col)).alias("_chars"),
+            "lang",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_toks").alias("total_tokens"),
+            F.round(F.avg("_chars"), 2).alias("mean_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

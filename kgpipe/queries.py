@@ -799,6 +799,23 @@ def weighted_sample(spark, sf):
     ).select("doc_id", "source")
 
 
+_SOURCE_STATS_ORACLE = """
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0))) AS BIGINT) AS total_tokens,
+  round(avg(len(text)), 2) AS mean_chars,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY source
+"""
+
+
+@_q("corpus_source_stats", _SOURCE_STATS_ORACLE)
+def corpus_source_stats(spark, sf):
+    # the dataset-card summary table: per-source doc/token/length/lang
+    # aggregates in one map-side-combined hash-agg
+    return textops.corpus_source_stats(_t(spark, sf, "documents"))
+
+
 _VOCAB_ORACLE = """
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)) AS token

@@ -134,3 +134,30 @@ def test_slice_cards_nested_card_regression():
     out = parse_hanzi_html(html, "p", sections=("basic_info", "fanyi_info"))
     # full-parse semantics: the FIRST 基本信息 card wins and has no title
     assert out["basic_info"] == {"error": "zi-title not found"}
+
+
+# ---------------------------------------------------------------------------
+# pure-expression properties of the round-5 corpus operators, checked on
+# their Python-side building blocks (no Spark session needed here): the
+# PII rule set itself must be well-formed and deterministic
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_pii_rules_are_total_and_idempotent(text):
+    """The PII regex chain must (a) never raise on arbitrary text under
+    BOTH regex engines it targets (Python re stands in for the Java∩RE2
+    subset), (b) be idempotent — scrubbing already-scrubbed text changes
+    nothing (placeholders contain no digits/@, so no rule re-fires)."""
+    import re as _re
+
+    from kgpipe.ops.textops import PII_RULES
+
+    out = text
+    for pat, repl in PII_RULES:
+        out = _re.sub(pat, repl, out)
+    again = out
+    for pat, repl in PII_RULES:
+        again = _re.sub(pat, repl, again)
+    assert again == out
