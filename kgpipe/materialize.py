@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -54,33 +55,64 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
-def _order_terms(order) -> list[tuple[str, str]]:
+def _render_sort_expr(c) -> str:
+    """SQL string of a Column sort expression. Classic Spark exposes the
+    JVM expression via the private ``_jc`` handle; Spark Connect has no
+    JVM handle, so fall back to the Column repr, which prints the same
+    expression text (``Column<'crawled DESC NULLS LAST'>``)."""
+    try:
+        return c._jc.toString()  # type: ignore[union-attr]
+    except AttributeError:  # Spark Connect Column
+        s = str(c)
+        m = re.fullmatch(r"Column<'(.*)'>", s, re.DOTALL)
+        return m.group(1) if m else s
+
+
+def _order_terms(order) -> list[tuple[str, str, str]]:
     """Normalize an ordering spec (strings and/or Column sort expressions)
-    to [(column, 'ASC'|'DESC'), ...] for SQL rendering. Column renders via
-    the JVM expression string ('crawled DESC NULLS LAST'); a bare string
-    means the operations' default ASC NULLS LAST."""
+    to [(column, 'ASC'|'DESC', 'FIRST'|'LAST'), ...] for SQL rendering. A
+    bare string means the operations' default ASC NULLS LAST (they wrap
+    strings in ``asc_nulls_last``); a Column keeps its own NULLS
+    qualifier, defaulting to Spark's sort defaults when unqualified
+    (ASC → NULLS FIRST, DESC → NULLS LAST)."""
     terms = []
     for c in order:
-        s = c if isinstance(c, str) else c._jc.toString()  # type: ignore[union-attr]
-        parts = s.split()
-        terms.append((parts[0], "DESC" if "DESC" in parts else "ASC"))
+        if isinstance(c, str):
+            terms.append((c, "ASC", "LAST"))
+            continue
+        parts = _render_sort_expr(c).split()
+        direction = "DESC" if "DESC" in parts else "ASC"
+        if "NULLS" in parts:
+            nulls = parts[parts.index("NULLS") + 1]
+        else:
+            nulls = "FIRST" if direction == "ASC" else "LAST"
+        terms.append((parts[0], direction, nulls))
     return terms
 
 
-def _order_sql(terms: list[tuple[str, str]]) -> str:
-    return ", ".join(f"{c} {d} NULLS LAST" for c, d in terms)
+def _order_sql(terms: list[tuple[str, str, str]]) -> str:
+    return ", ".join(f"{c} {d} NULLS {n}" for c, d, n in terms)
 
 
-def _beats_pred(terms: list[tuple[str, str]]) -> str:
+def _beats_pred(terms: list[tuple[str, str, str]]) -> str:
     """Lexicographic 'incoming sorts strictly before current' predicate
-    over the priority terms: ASC → s.c < t.c, DESC → s.c > t.c, with
-    null-safe equality (<=>) on the prefix — the MERGE-side form of the
-    row_number() winner election."""
+    over the priority terms, with null-safe equality (<=>) on the prefix
+    — the MERGE-side form of the row_number() winner election. Each term
+    is null-aware so the predicate elects the same winner as the local
+    window election when a priority value is NULL: under NULLS LAST a
+    non-null incoming value beats a NULL current one (the
+    crawled-beats-stub url tiebreak), under NULLS FIRST the mirror."""
     clauses = []
-    for i, (col, d) in enumerate(terms):
-        eq_prefix = [f"s.{c} <=> t.{c}" for c, _ in terms[:i]]
+    for i, (col, d, nulls) in enumerate(terms):
+        eq_prefix = [f"s.{c} <=> t.{c}" for c, _, _ in terms[:i]]
         op = ">" if d == "DESC" else "<"
-        clauses.append(" AND ".join(eq_prefix + [f"s.{col} {op} t.{col}"]))
+        if nulls == "LAST":
+            null_beats = f"(s.{col} IS NOT NULL AND t.{col} IS NULL)"
+        else:
+            null_beats = f"(s.{col} IS NULL AND t.{col} IS NOT NULL)"
+        clauses.append(
+            " AND ".join(eq_prefix + [f"({null_beats} OR s.{col} {op} t.{col})"])
+        )
     return " OR ".join(f"({c})" for c in clauses)
 
 
@@ -315,7 +347,10 @@ class SnapshotTable:
             f"ON {on} WHEN MATCHED AND ({_beats_pred(terms)}) THEN UPDATE SET * "
             f"WHEN NOT MATCHED THEN INSERT *"
         )
-        return self._merge_rewrite(df, keys, list(priority))
+        order = [
+            F.col(c).asc_nulls_last() if isinstance(c, str) else c for c in priority
+        ]
+        return self._merge_rewrite(df, keys, order)
 
     def merge_upsert(self, df: DataFrame, keys: list[str], order_by: list) -> int:
         """MERGE INTO: new rows win over existing rows on key collision,

@@ -435,9 +435,10 @@ def test_iceberg_sql_migration_contract(spark, tmp_path):
         "OVER (PARTITION BY node_id ORDER BY crawled DESC NULLS LAST, "
         "url ASC NULLS LAST) AS _rn FROM incoming_batch src) WHERE _rn = 1) s "
         "ON t.node_id = s.node_id "
-        "WHEN MATCHED AND ((s.crawled > t.crawled) OR "
-        "(s.crawled <=> t.crawled AND s.url < t.url)) THEN UPDATE SET * "
-        "WHEN NOT MATCHED THEN INSERT *",
+        "WHEN MATCHED AND ((((s.crawled IS NOT NULL AND t.crawled IS NULL) "
+        "OR s.crawled > t.crawled)) OR (s.crawled <=> t.crawled AND "
+        "((s.url IS NOT NULL AND t.url IS NULL) OR s.url < t.url))) "
+        "THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
         "MERGE INTO nodes t USING (SELECT * FROM (SELECT src.*, row_number() "
         "OVER (PARTITION BY node_id ORDER BY name ASC NULLS LAST) AS _rn "
         "FROM incoming_batch src) WHERE _rn = 1) s ON t.node_id = s.node_id "
@@ -450,3 +451,69 @@ def test_iceberg_sql_migration_contract(spark, tmp_path):
         "CALL system.expire_snapshots(table => 'nodes', retain_last => 1)",
         "TRUNCATE TABLE nodes",
     ]
+
+
+def test_beats_pred_matches_window_election(spark):
+    """ADVICE r5 (medium): the emitted MERGE predicate must elect the
+    same winner as the local window election when a priority value is
+    NULL — e.g. a crawled row with a url must beat a stub whose url is
+    NULL under url ASC NULLS LAST. Exhaustively compares the SQL
+    predicate against the row_number() election over every (s, t) value
+    pair in {NULL, 0, 1} for all four direction × nulls combinations."""
+    from kgpipe.materialize import _beats_pred, _order_terms
+
+    specs = {
+        ("ASC", "LAST"): F.col("v").asc_nulls_last(),
+        ("ASC", "FIRST"): F.col("v").asc_nulls_first(),
+        ("DESC", "LAST"): F.col("v").desc_nulls_last(),
+        ("DESC", "FIRST"): F.col("v").desc_nulls_first(),
+    }
+    vals = [None, 0, 1]
+    for (d, n), col in specs.items():
+        terms = _order_terms([col])
+        assert terms == [("v", d, n)]
+        pred = _beats_pred(terms)
+        for sv in vals:
+            for tv in vals:
+                s_lit = "CAST(NULL AS INT)" if sv is None else str(sv)
+                t_lit = "CAST(NULL AS INT)" if tv is None else str(tv)
+                got = spark.sql(
+                    f"SELECT coalesce({pred}, false) AS beats FROM "
+                    f"(SELECT {s_lit} AS v) s CROSS JOIN (SELECT {t_lit} AS v) t"
+                ).first().beats
+                order = sorted(
+                    [("s", sv), ("t", tv)],
+                    key=lambda kv: (
+                        (kv[1] is None) if n == "LAST" else (kv[1] is not None),
+                        (-kv[1] if d == "DESC" else kv[1]) if kv[1] is not None else 0,
+                        kv[0],  # tie → s does NOT strictly beat t
+                    ),
+                )
+                expected = order[0][0] == "s" and sv != tv
+                assert got == expected, (d, n, sv, tv, got, expected)
+
+
+def test_merge_best_null_priority_replay_consistent(spark, tmp_path):
+    """The ADVICE scenario end-to-end: current row has url NULL (stub),
+    incoming crawled row has a url — the local merge must keep the
+    crawled row AND the emitted MERGE predicate must say 'update'."""
+    from kgpipe.materialize import _beats_pred, _order_terms
+
+    prio = [F.col("crawled").desc(), F.col("url").asc_nulls_last()]
+    t = SnapshotTable(str(tmp_path / "n"), NODES_SCHEMA)
+    stub = spark.createDataFrame(
+        [(1, "Idiom", "a", None, None, True, "r", None)], NODES_SCHEMA
+    )
+    crawled = spark.createDataFrame(
+        [(1, "Idiom", "a", "chengyu/a", "{}", True, "r", None)], NODES_SCHEMA
+    )
+    t.merge_best(stub, ["node_id"], prio)
+    t.merge_best(crawled, ["node_id"], prio)
+    assert t.read(spark).first().url == "chengyu/a"
+    pred = _beats_pred(_order_terms(prio))
+    beats = spark.sql(
+        f"SELECT coalesce({pred}, false) AS b FROM "
+        "(SELECT true AS crawled, 'chengyu/a' AS url) s CROSS JOIN "
+        "(SELECT true AS crawled, CAST(NULL AS STRING) AS url) t"
+    ).first().b
+    assert beats is True
