@@ -1406,13 +1406,15 @@ def _code_kg_triples_oracle() -> str:
 
     out = set()
     for repo, path, commit, lang, content in codeops.synthetic_source_files():
+        for sp in codeops._STRIP_PATTERNS.get(lang, ()):
+            content = _re.sub(sp, "", content)
         for pats, pred in (
             (codeops._IMPORT_PATTERNS.get(lang, ()), "imports-module"),
             (codeops._DEFINE_PATTERNS.get(lang, ()), "defines-symbol"),
         ):
             for p in pats:
                 for m in _re.findall(p, content):
-                    out.add((path, pred, m))
+                    out.add((f"{repo}/{path}", pred, m))
     rows = [(_sq(s), _sq(p), _sq(o)) for s, p, o in sorted(out)]
     return _values_table(rows, ["subj", "pred", "obj"])
 

@@ -781,31 +781,45 @@ def test_weighted_sample_deterministic_rates(spark):
 def test_code_import_and_define_edges(spark):
     """Code-KG family over the input_hint table shape: per-language
     dispatch is a column predicate, top-level-only matching (commented /
-    indented imports ignored), duplicates collapsed."""
+    indented / docstring / block-comment / raw-string imports ignored),
+    duplicates collapsed, subjects repo-qualified so two repos holding
+    the same path stay distinct files (ADVICE r5)."""
     from kgpipe.ops import codeops
     from kgpipe.schemas import CORPUS_SCHEMA
 
     rows = [
         ("r", "a.py", "c1", "python",
-         "import os\nimport os\n# import nope\n  import nope2\nfrom x.y import z\ndef f():\n    pass\nclass K:\n    pass\n"),
-        ("r", "B.java", "c1", "java", "import java.util.Map;\nimport static a.b.C.d;\n"),
-        ("r", "m.go", "c1", "go", 'import "fmt"\n'),
+         "import os\nimport os\n# import nope\n  import nope2\nfrom x.y import z\n"
+         '"""docstring\nimport doc_nope\ndef doc_nope_fn():\n"""\n'
+         "def f():\n    pass\nclass K:\n    pass\n"),
+        ("r", "B.java", "c1", "java",
+         "import java.util.Map;\nimport static a.b.C.d;\n"
+         "/*\nimport block.Nope;\n*/\n// import line.Nope;\n"),
+        ("r", "m.go", "c1", "go",
+         'import "fmt"\n/*\nimport "block/nope"\n*/\nvar s = `\nimport "raw/nope"\n`\n'),
         ("r", "t.txt", "c1", "text", "import not_code\n"),  # unknown lang: no edges
+        # identical path in two repos: two distinct subjects, not one
+        ("r2", "a.py", "c1", "python", "import os\n"),
     ]
     files = spark.createDataFrame(rows, CORPUS_SCHEMA)
     imports = {
-        (r.path, r.module) for r in codeops.import_edges(files).collect()
+        (r.repo, r.path, r.module) for r in codeops.import_edges(files).collect()
     }
     assert imports == {
-        ("a.py", "os"), ("a.py", "x.y"),
-        ("B.java", "java.util.Map"), ("B.java", "a.b.C.d"),
-        ("m.go", "fmt"),
+        ("r", "a.py", "os"), ("r", "a.py", "x.y"),
+        ("r", "B.java", "java.util.Map"), ("r", "B.java", "a.b.C.d"),
+        ("r", "m.go", "fmt"),
+        ("r2", "a.py", "os"),
     }
     defs = {(r.path, r.symbol) for r in codeops.defined_symbols(files).collect()}
     assert defs == {("a.py", "f"), ("a.py", "K")}
     triples = codeops.code_triples(files)
     assert triples.columns == ["subj", "pred", "obj"]
     assert triples.count() == len(imports) + len(defs)
+    subj_for_os = {
+        r.subj for r in triples.where("pred = 'imports-module' AND obj = 'os'").collect()
+    }
+    assert subj_for_os == {"r/a.py", "r2/a.py"}
     # hot path stays native: no Python evaluation anywhere in the plan
     from kgpipe import plans
 
