@@ -442,12 +442,16 @@ def ngram_contamination(
     hash-agg on the (doc, probe) pair. The corpus is never self-joined
     and never shuffled on anything but the output pair key.
 
-    ``broadcast_probes=None`` (default) DERIVES the strategy from a
-    cheap probe-side count (the ``derive_n_planes`` pattern): at most
-    ``broadcast_max_probes`` probe documents → broadcast the gram table;
-    above it, fall back to a plain shuffle join and let AQE pick — so an
-    unexpectedly huge probe set cannot OOM an executor by default. Pass
-    True/False to force either path (count skipped).
+    ``broadcast_probes=None`` (default) DERIVES the strategy from the
+    probe side: at most ``broadcast_max_probes`` probe documents →
+    broadcast the gram table; above it, fall back to a plain shuffle
+    join and let AQE pick — so an unexpectedly huge probe set cannot OOM
+    an executor by default. CONTRACT NOTE: deriving runs one bounded
+    eager job at declaration time — a ``LIMIT broadcast_max_probes+1``
+    count over the zero-column-pruned probe scan, so its cost is capped
+    by the threshold, not the probe-table size, and it runs once per
+    call, not per action. Pass True/False to force either path (no job
+    at declaration — the fully lazy contract the other operators keep).
 
     ``exclude_self_pairs=True`` (default) drops pairs with
     doc_id == probe_id — correct when probes are DRAWN FROM THE CORPUS
@@ -466,9 +470,12 @@ def ngram_contamination(
         F.explode(F.array_distinct(F.expr(gram_expr))).alias("gram_hash"),
     )
     if broadcast_probes is None:
-        # count-star over the un-exploded probe table: one cheap scan of a
-        # small-by-contract input, pruned to zero columns by Catalyst
-        broadcast_probes = probes.count() <= broadcast_max_probes
+        # bounded derivation job: LIMIT caps the scan at threshold+1 rows
+        # (zero columns read), so a huge probe table costs the same to
+        # classify as a small one
+        broadcast_probes = (
+            probes.limit(broadcast_max_probes + 1).count() <= broadcast_max_probes
+        )
     probe_side = F.broadcast(probe_grams) if broadcast_probes else probe_grams
     joined = corpus_grams.join(probe_side, "gram_hash")
     if exclude_self_pairs:

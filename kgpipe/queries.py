@@ -1222,7 +1222,7 @@ def _kg_corpus(spark):
 _KG_GRAPH_CACHE: dict = {}
 
 
-def _kg_graph(spark, full_hanzi_properties: bool = False):
+def _kg_graph(spark):
     """ONE ``build_graph`` shared by the five kg_* driver-gate queries
     (kg_triples, kg_nodes, hanzi_section_fidelity, kg_edge_endpoints_
     resolve, kg_variant_components). The correctness gate runs every
@@ -1304,7 +1304,7 @@ def hanzi_section_fidelity(spark, sf):
     ``properties`` JSON — proving the warehouse actually persists all
     seven section blobs (reference hanyuguoxue.py:1411-1439), not that
     the parsers merely ran. Oracle = the independent pure-Python parse."""
-    g = _kg_graph(spark, full_hanzi_properties=True)
+    g = _kg_graph(spark)  # cache always builds full-section (see _kg_graph)
     nodes = g.nodes.where((F.col("entity_type") == "Hanzi") & F.col("crawled"))
 
     def arr_len(path: str):
