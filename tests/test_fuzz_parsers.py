@@ -161,3 +161,31 @@ def test_pii_rules_are_total_and_idempotent(text):
     for pat, repl in PII_RULES:
         again = _re.sub(pat, repl, again)
     assert again == out
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(1000, 9999),
+    st.integers(1, 12),
+    st.integers(1, 28),
+    st.integers(0, 23),
+    st.integers(0, 59),
+    st.integers(0, 16 ** 8 - 1),
+)
+def test_pii_phone_rules_spare_digit_bearing_non_phones(y, mo, d, h, mi, hx):
+    """VERDICT r5: the tightened phone rules require a phone SHAPE, so
+    years, space-separated date-times, ISBNs, 16-digit ids and
+    hex-embedded digit runs all survive the scrub unchanged."""
+    import re as _re
+
+    from kgpipe.ops.textops import PII_RULES
+
+    text = (
+        f"in {y}, logged {y} {mo:02d} {d:02d} {h:02d} {mi:02d}, "
+        f"isbn 978-0-306-40615-7, id 1234567890123456, "
+        f"ref {hx:08x}deadbeef1234567"
+    )
+    out = text
+    for pat, repl in PII_RULES:
+        out = _re.sub(pat, repl, out)
+    assert out == text

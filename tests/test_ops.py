@@ -743,6 +743,9 @@ def test_pii_scrub(spark):
             (1, "mail me at jane.doe+x@corp.example.org today"),
             (2, "server 192.168.0.1 port open, call +44 7700 900123 now"),
             (3, "clean text with no identifiers at all"),
+            (4, "call 555-123-4567 or 010 1234 5678 or 13912345678"),
+            (5, "year 2026, logged 2026 08 17 12 00, isbn 978-0-306-40615-7, "
+                "id 1234567890123456, ref deadbeef1234567"),
         ],
         "doc_id long, text string",
     )
@@ -753,6 +756,12 @@ def test_pii_scrub(spark):
     assert out[2].n_redactions == 2
     assert out[3].scrubbed_text == docs.collect()[2].text
     assert out[3].n_redactions == 0
+    # phone shapes: grouped, spaced and contiguous forms all redact
+    assert out[4].scrubbed_text == "call <PHONE> or <PHONE> or <PHONE>"
+    assert out[4].n_redactions == 3
+    # VERDICT r5 negatives: digit-bearing non-phones survive untouched
+    assert out[5].scrubbed_text == docs.collect()[4].text
+    assert out[5].n_redactions == 0
 
 
 def test_weighted_sample_deterministic_rates(spark):
