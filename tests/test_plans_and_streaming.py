@@ -19,15 +19,12 @@ def test_dim_join_is_broadcast(spark):
 
 
 def test_scan_pushdown_and_pruning(spark):
-    df = QUERIES["scan_filter_project"](spark, SF_DIR)
+    # the folded scan_point_lookup entry must keep BOTH branches'
+    # filter pushdown and column pruning through the union
+    df = QUERIES["scan_point_lookup"](spark, SF_DIR)
     plans.assert_pushed_filters(df)
     # projection needs doc_id/n_chars/source/lang only — text must be pruned
     plans.assert_column_pruned(df, ["text"])
-
-
-def test_point_lookup_pushdown(spark):
-    df = QUERIES["point_lookup"](spark, SF_DIR)
-    plans.assert_pushed_filters(df)
 
 
 def test_no_row_at_a_time_python_anywhere(spark, small_corpus):
