@@ -123,15 +123,21 @@ class Element:
 
     # -- text -----------------------------------------------------------
     def get_text(self, separator: str = "", strip: bool = False) -> str:
+        # iterative DFS without generator frames (hot path)
         parts: list[str] = []
-        for node in self.iter_descendants():
-            if isinstance(node, TextNode):
+        stack = self.children[::-1]
+        pop = stack.pop
+        while stack:
+            node = pop()
+            if node.__class__ is TextNode:
                 if strip:
                     s = node.text.strip()
                     if s:
                         parts.append(s)
                 else:
                     parts.append(node.text)
+            else:
+                stack.extend(node.children[::-1])
         return separator.join(parts)
 
     @property
@@ -180,7 +186,15 @@ class Element:
         names = None
         if name is not None:
             names = {name} if isinstance(name, str) else set(name)
-        for el in self.iter_elements(recursive=recursive):
+        # iterative preorder DFS without nested generator frames (hot path)
+        stack = [c for c in self.children[::-1] if c.__class__ is Element]
+        pop = stack.pop
+        while stack:
+            el = pop()
+            if recursive:
+                stack.extend(
+                    c for c in el.children[::-1] if c.__class__ is Element
+                )
             if names is not None and el.name not in names:
                 continue
             if class_ is not None and not _class_matches(el, class_):
@@ -254,9 +268,253 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(TextNode(data, self.stack[-1]))
 
 
-def parse_html(html: str) -> Element:
-    """Parse an HTML string into a mini-DOM; returns the document root."""
+def parse_html_stdlib(html: str) -> Element:
+    """The original stdlib-``html.parser`` tree build — kept as the
+    EQUIVALENCE ORACLE for the fast scanner below (hypothesis fuzz +
+    golden-page tests assert tree equality), and as the conservative
+    fallback ``parse_html`` takes when the scanner declines a page."""
     builder = _TreeBuilder()
     builder.feed(html)
     builder.close()
     return builder.root
+
+
+# ---------------------------------------------------------------------------
+# fast single-pass scanner
+# ---------------------------------------------------------------------------
+# The stdlib HTMLParser.feed is ~64% of a term-page parse (round-6
+# profile: 573 us/page, of which 4.2/6.6 s per 3k pages is goahead/
+# parse_starttag — incremental-feed buffering, updatepos bookkeeping and
+# per-tag method dispatch we don't need for a complete in-memory page).
+# This scanner produces the IDENTICAL tree for the constructs html.parser
+# handles (start/end/self-closing tags, void elements, entity conversion
+# outside script/style, comments/declarations/PIs dropped, bogus-'<' as
+# text, tolerant end tags, script/style raw-text mode), reusing the
+# stdlib's own tolerant attribute regex so attribute semantics can't
+# drift. Constructs it does NOT implement (marked sections '<![',
+# unterminated comments/tags at EOF) make it RAISE _FastParseDecline,
+# and parse_html falls back to the stdlib builder — behavior-preserving
+# by construction, fast on the 99.9% well-formed path.
+
+import re as _re
+
+from html import unescape as _unescape
+from html.parser import (  # type: ignore[attr-defined]  # tolerant regexes
+    attrfind_tolerant as _ATTR_RE,
+    commentclose as _COMMENT_CLOSE,
+    endtagfind as _ENDTAGFIND,
+)
+
+#: strict subset of tagfind_tolerant's name charset — a tag whose stdlib
+#: name would extend beyond this (e.g. '<a@b>') fails the subsequent
+#: attribute lookbehind and DECLINES to the stdlib path, never diverges
+_STARTTAG_NAME_RE = _re.compile(r"[a-zA-Z][-.a-zA-Z0-9:_]*")
+_ENDTAG_NAME_RE = _STARTTAG_NAME_RE
+_RAW_END = {
+    t: _re.compile(r"</\s*%s" % t, _re.IGNORECASE) for t in ("script", "style")
+}
+
+#: whole-tag fast path: ONE C-level match for the overwhelmingly common
+#: well-formed start tag (space-separated attrs, balanced quotes or a
+#: plain unquoted token). Anything it can't swallow in full — stray '=',
+#: missing inter-attr space, exotic name/value chars — fails the WHOLE
+#: anchored match and drops to the per-attr tolerant loop, so this path
+#: never changes semantics, only skips python-loop overhead.
+_SIMPLE_ATTR = (
+    r"\s+[a-zA-Z_:][-.a-zA-Z0-9:_]*"
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s\"'=<>`]+))?"
+)
+_SIMPLE_TAG_RE = _re.compile(
+    r"([a-zA-Z][-.a-zA-Z0-9:_]*)((?:%s)*)\s*(/?)>" % _SIMPLE_ATTR
+)
+_SIMPLE_ATTR_RE = _re.compile(
+    r"([a-zA-Z_:][-.a-zA-Z0-9:_]*)"
+    r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'=<>`]+))?"
+)
+
+
+class _FastParseDecline(Exception):
+    """Construct outside the fast path — caller falls back to stdlib."""
+
+
+def _scan_starttag(html: str, lt: int, stack: list) -> int:
+    """Parse a start (or self-closing) tag at ``lt``; returns the scan
+    position after '>'. Mirrors HTMLParser.parse_starttag semantics."""
+    m = _STARTTAG_NAME_RE.match(html, lt + 1)
+    tag = m.group().lower()
+    pos = m.end()
+    attrs: dict = {}
+    n = len(html)
+    while True:
+        # skip whitespace between attributes
+        while pos < n and html[pos] in " \t\n\r\f":
+            pos += 1
+        if pos >= n:
+            raise _FastParseDecline  # unterminated tag at EOF
+        c = html[pos]
+        if c == ">":
+            pos += 1
+            self_closing = False
+            break
+        if c == "/":
+            if html.startswith("/>", pos):
+                pos += 2
+                self_closing = True
+                break
+            pos += 1  # stray '/' between attrs: html.parser skips it
+            continue
+        am = _ATTR_RE.match(html, pos)
+        if am is None or am.end() == pos:
+            # html.parser's error path treats the tag up to '>' as data
+            raise _FastParseDecline
+        name, _eq, value = am.group(1, 2, 3)
+        if value is None:
+            value = ""
+        elif value[:1] in ("'", '"') and value[:1] == value[-1:]:
+            value = value[1:-1]
+        if "&" in value:
+            value = _unescape(value)
+        # last duplicate wins — matches the tree builder's dict-comp
+        # over html.parser's attrs list
+        attrs[name.lower()] = value
+        pos = am.end()
+    parent = stack[-1]
+    el = Element(tag, attrs, parent)
+    parent.children.append(el)
+    if not self_closing and tag not in VOID_ELEMENTS:
+        stack.append(el)
+        if tag in ("script", "style"):
+            return -pos  # signal: enter raw-text mode (cdata)
+    return pos
+
+
+def _close_tag(stack: list, tag: str) -> None:
+    for i in range(len(stack) - 1, 0, -1):
+        if stack[i].name == tag:
+            del stack[i:]
+            return
+
+
+def _consume_raw(html: str, pos: int, stack: list) -> int:
+    """Raw-text content model (script/style): text runs to the STRICT
+    matching end tag. stdlib emits look-alike end tags ('</scriptX>',
+    '</script foo>') as separate data chunks with their own TextNode
+    granularity — that case declines to the stdlib path."""
+    tag = stack[-1].name
+    em = _RAW_END[tag].search(html, pos)
+    if em is None:
+        raise _FastParseDecline  # unterminated raw text
+    gm = _ENDTAGFIND.match(html, em.start())
+    if gm is None or gm.group(1).lower() != tag:
+        raise _FastParseDecline
+    if em.start() > pos:  # raw data: NOT unescaped
+        stack[-1].children.append(TextNode(html[pos : em.start()], stack[-1]))
+    _close_tag(stack, tag)
+    return gm.end()
+
+
+def _fast_parse(html: str) -> Element:
+    root = Element("[document]", {})
+    stack = [root]
+    pos, n = 0, len(html)
+    while pos < n:
+        lt = html.find("<", pos)
+        if lt < 0:
+            text = html[pos:]
+            if "&" in text:
+                text = _unescape(text)
+            stack[-1].children.append(TextNode(text, stack[-1]))
+            break
+        if lt > pos:
+            text = html[pos:lt]
+            if "&" in text:
+                text = _unescape(text)
+            stack[-1].children.append(TextNode(text, stack[-1]))
+        nxt = html[lt + 1 : lt + 2]
+        if nxt and (("a" <= nxt <= "z") or ("A" <= nxt <= "Z")):
+            m = _SIMPLE_TAG_RE.match(html, lt + 1)
+            if m is not None:
+                tag = m.group(1).lower()
+                attrs: dict = {}
+                blob = m.group(2)
+                if blob:
+                    for am in _SIMPLE_ATTR_RE.finditer(blob):
+                        v = am.group(2)
+                        if v is None:
+                            v = ""
+                        elif v[0] in "\"'":
+                            v = v[1:-1]
+                        if "&" in v:
+                            v = _unescape(v)
+                        attrs[am.group(1).lower()] = v
+                parent = stack[-1]
+                el = Element(tag, attrs, parent)
+                parent.children.append(el)
+                pos = m.end()
+                raw = False
+                if not m.group(3) and tag not in VOID_ELEMENTS:
+                    stack.append(el)
+                    raw = tag in _RAW_END
+            else:
+                pos = _scan_starttag(html, lt, stack)
+                raw = pos < 0
+                if raw:
+                    pos = -pos
+            if raw:  # raw-text element (script/style)
+                pos = _consume_raw(html, pos, stack)
+        elif nxt == "/":
+            gm = _ENDTAGFIND.match(html, lt)  # strict '</ name >' form
+            if gm is not None:
+                _close_tag(stack, gm.group(1).lower())
+                pos = gm.end()
+            else:
+                em = _ENDTAG_NAME_RE.match(html, lt + 2)
+                if em is None:
+                    if html.startswith("</>", lt):
+                        pos = lt + 3  # ignored, html.parser parity
+                    else:
+                        gt = html.find(">", lt)  # bogus comment: dropped
+                        if gt < 0:
+                            raise _FastParseDecline
+                        pos = gt + 1
+                else:
+                    # tolerant path: junk between name and '>' discarded
+                    gt = html.find(">", em.end())
+                    if gt < 0 or html[em.end()] not in " \t\n\r\f/>":
+                        raise _FastParseDecline  # name-charset divergence
+                    _close_tag(stack, em.group().lower())
+                    pos = gt + 1
+        elif nxt == "!":
+            if html.startswith("<!--", lt):
+                cm = _COMMENT_CLOSE.search(html, lt + 4)
+                if cm is None:
+                    raise _FastParseDecline  # unterminated comment
+                pos = cm.end()
+            elif html.startswith("<![", lt):
+                raise _FastParseDecline  # marked section: stdlib path
+            else:
+                gt = html.find(">", lt)  # declaration/bogus: dropped
+                if gt < 0:
+                    raise _FastParseDecline
+                pos = gt + 1
+        elif nxt == "?":
+            gt = html.find(">", lt)  # processing instruction: dropped
+            if gt < 0:
+                raise _FastParseDecline
+            pos = gt + 1
+        else:
+            # '<' not opening a construct: literal text (html.parser parity)
+            stack[-1].children.append(TextNode("<", stack[-1]))
+            pos = lt + 1
+    return root
+
+
+def parse_html(html: str) -> Element:
+    """Parse an HTML string into a mini-DOM; returns the document root.
+
+    Fast single-pass scanner with automatic stdlib fallback — output is
+    identical to ``parse_html_stdlib`` (fuzz- and golden-asserted)."""
+    try:
+        return _fast_parse(html)
+    except _FastParseDecline:
+        return parse_html_stdlib(html)

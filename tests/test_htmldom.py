@@ -69,3 +69,100 @@ def test_recursive_false():
     div = doc.find("div")
     assert len(div.find_all("p")) == 2
     assert len(div.find_all("p", recursive=False)) == 1
+
+
+# ---------------------------------------------------------------------------
+# fast scanner vs stdlib builder: the fast path must be tree-identical
+# wherever it does not decline (round 6)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+from kgpipe.htmldom import (
+    Element,
+    TextNode,
+    _fast_parse,
+    _FastParseDecline,
+    parse_html_stdlib,
+)
+
+
+def _tree(node):
+    if isinstance(node, TextNode):
+        return ("#t", node.text)
+    return (
+        node.name,
+        tuple(sorted(node.attrs.items())),
+        tuple(_tree(c) for c in node.children),
+    )
+
+
+def _assert_fast_equiv(html):
+    try:
+        fast = _fast_parse(html)
+    except _FastParseDecline:
+        return  # conservative fallback: parse_html uses stdlib, trivially equal
+    assert _tree(fast) == _tree(parse_html_stdlib(html)), repr(html)
+
+
+_NAMES = st.sampled_from(["div", "p", "span", "a", "h1", "li", "br", "img", "ol"])
+_ATTRS = st.sampled_from(
+    ["", ' class="a b"', " href=/x/y", ' data-id="基本信息"', " checked",
+     ' title=\'it&#39;s\'', ' alt=商 金文 class="lazy"', "  a = 1  b ",
+     ' x="1"y="2"', " b=c=d", " b/ c"]
+)
+_TEXTS = st.sampled_from(
+    ["", "plain", "a &amp; b", "1 < 2", "<3 hearts", "拼音：wáng", "&#x4e2d;&unknown;", "&"]
+)
+
+
+@st.composite
+def _html_soup(draw):
+    out = []
+    for _ in range(draw(st.integers(0, 12))):
+        kind = draw(st.integers(0, 6))
+        if kind == 0:
+            out.append(draw(_TEXTS))
+        elif kind == 1:
+            out.append(f"<{draw(_NAMES)}{draw(_ATTRS)}>")
+        elif kind == 2:
+            out.append(f"</{draw(_NAMES)}>")
+        elif kind == 3:
+            out.append(f"<{draw(_NAMES)}{draw(_ATTRS)}/>")
+        elif kind == 4:
+            out.append(f"<!-- {draw(_TEXTS)} -->")
+        elif kind == 5:
+            out.append(f"<script>var a = \"{draw(_TEXTS)}\";</script>")
+        else:
+            out.append(draw(st.sampled_from(
+                ["<!DOCTYPE html>", "<?pi x?>", "</ p>", "</p junk>", "</>",
+                 "</3>", "<!bogus>"]
+            )))
+    return "".join(out)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_html_soup())
+def test_fast_parse_never_diverges_fuzz(html):
+    """The fast scanner either declines (stdlib fallback) or produces a
+    tree IDENTICAL to the stdlib builder — on generated tag soup
+    including malformed constructs, entities, raw-text elements and
+    tolerant end tags."""
+    _assert_fast_equiv(html)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="<>/&=\"' abpdiv!-;#x123汉字", max_size=80))
+def test_fast_parse_never_diverges_garbage(text):
+    """Pure character soup — exercises every decline/error path."""
+    _assert_fast_equiv(text)
+
+
+def test_fast_parse_equiv_on_all_synthetic_pages():
+    from kgpipe.corpus import generate_corpus
+
+    c = generate_corpus(n_hanzi=30, n_words=40, n_idioms=30, seed=42)
+    for r in c.rows:
+        _assert_fast_equiv(r["content"])
+        # every synthetic page must take the FAST path, not the fallback
+        _fast_parse(r["content"])
