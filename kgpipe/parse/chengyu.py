@@ -26,6 +26,7 @@ import re
 from typing import Optional
 
 from kgpipe.htmldom import parse_html
+from kgpipe.parse.slicing import prefix_slice
 
 _ZHUYIN_RE = re.compile(r"注音[：:]\s*([^\n]+)")
 _SOURCE_RE = re.compile(r"出处[：:]\s*(.+)")
@@ -33,9 +34,12 @@ _USAGE_RE = re.compile(r"用法[：:]\s*(.+)")
 _EXAMPLE_RE = re.compile(r"例子[：:]\s*(.+)")
 
 
-def parse_chengyu_html(html: str, url: Optional[str] = None) -> dict:
+def parse_chengyu_html(
+    html: str, url: Optional[str] = None, slice_input: bool = True
+) -> dict:
     try:
-        doc = parse_html(html)
+        sliced = prefix_slice(html) if slice_input else None
+        doc = parse_html(html if sliced is None else sliced)
         data: dict = {}
 
         h1 = doc.find("h1")

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Optional
 
 from kgpipe.htmldom import Element, parse_html
+from kgpipe.parse.slicing import prefix_slice
 
 
 def _list_from_label(ci_attrs: Optional[Element], label_text: str) -> list[str]:
@@ -33,9 +34,12 @@ def _list_from_label(ci_attrs: Optional[Element], label_text: str) -> list[str]:
     return [t for t in texts if t]
 
 
-def parse_ciyu_html(html: str, url: Optional[str] = None) -> dict:
+def parse_ciyu_html(
+    html: str, url: Optional[str] = None, slice_input: bool = True
+) -> dict:
     try:
-        doc = parse_html(html)
+        sliced = prefix_slice(html) if slice_input else None
+        doc = parse_html(html if sliced is None else sliced)
         data: dict = {}
 
         title_wrap = doc.find("div", class_="ci-title-wrap")

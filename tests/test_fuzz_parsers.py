@@ -189,3 +189,71 @@ def test_pii_phone_rules_spare_digit_bearing_non_phones(y, mo, d, h, mi, hx):
     for pat, repl in PII_RULES:
         out = _re.sub(pat, repl, out)
     assert out == text
+
+
+# ---------------------------------------------------------------------------
+# round-6 term-page prefix slicing: sliced parse must NEVER diverge from
+# the full parse, on synthetic pages, chrome-wrapped pages, and soup
+# ---------------------------------------------------------------------------
+
+_CHROME = st.sampled_from(
+    [
+        "",
+        "<html><head><title>站点</title><script>var nav = '<div>';</script></head><body>",
+        '<div id="page"><nav class="topbar"><ul><li><a href="/">首页</a></li></ul></nav>',
+        '<header><div class="banner"><img src=/logo.png></div></header>'
+        "<!-- ad slot --><aside>推广内容 123</aside>",
+        # hazard chrome: contains an <h1> — the gate must DECLINE and
+        # fall back to the full parse (results still equal by identity)
+        "<header><h1>站点标题</h1></header>",
+        '<div class="promo">关于 ci-title 的说明</div>',  # hazard substring in text
+        "<script>if (a<b) document.write('<div class=\"ci-attrs\">');</script>",
+        "<H1>UPPER</H1><div>x</div>",
+        "<!-- <div class='ci-content'> commented out -->",
+    ]
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_CHROME, _SOUP)
+def test_term_slice_never_diverges(chrome, soup):
+    """prefix_slice either prunes losslessly or declines: for any chrome
+    + page-soup combination, the sliced term parse equals the full
+    parse for BOTH term families."""
+    html = chrome + soup
+    for fn in (parse_chengyu_html, parse_ciyu_html):
+        assert fn(html, "p") == fn(html, "p", slice_input=False)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="<>/&=\"' cih1-титle网络解释divattrs!-", max_size=120))
+def test_term_slice_never_diverges_garbage(text):
+    for fn in (parse_chengyu_html, parse_ciyu_html):
+        assert fn(text, "p") == fn(text, "p", slice_input=False)
+
+
+def test_term_slice_on_synthetic_and_chromed_pages():
+    """Every synthetic term page parses identically with slicing on/off;
+    a chrome-wrapped page actually TAKES the slice path and still
+    yields the identical record."""
+    from kgpipe.corpus import generate_corpus, render_chengyu_page, render_ciyu_page
+    from kgpipe.parse.slicing import prefix_slice
+
+    c = generate_corpus(n_hanzi=30, n_words=40, n_idioms=30, seed=42)
+    chrome = (
+        "<html><head><title>汉语国学</title></head><body>"
+        '<nav class="topbar"><a href="/">首页</a><a href="/about">关于</a></nav>'
+        '<div class="ad">广告 108</div>'
+    )
+    n_sliced = 0
+    for t in c.terms[:40]:
+        fn = parse_chengyu_html if t.kind == "Idiom" else parse_ciyu_html
+        render = render_chengyu_page if t.kind == "Idiom" else render_ciyu_page
+        page = render(t)
+        assert fn(page, "p") == fn(page, "p", slice_input=False)
+        wrapped = chrome + page[len("<html><body>"):]
+        assert fn(wrapped, "p") == fn(wrapped, "p", slice_input=False)
+        assert fn(wrapped, "p")["data"] == fn(page, "p")["data"]
+        if prefix_slice(wrapped) is not None:
+            n_sliced += 1
+    assert n_sliced == 40  # the chrome-wrapped pages all took the slice path
