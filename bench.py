@@ -98,6 +98,12 @@ def main() -> None:
     from kgpipe.queries import QUERIES
     from kgpipe.session import get_spark
 
+    # host-load discipline (BENCH.md round-5 reconciliation): a busy host
+    # silently corrupts local[N] numbers by +-55%, so every artifact
+    # records the 1-min load average at start and end — drift questions
+    # close by reading the artifact instead of re-running
+    load_start = round(os.getloadavg()[0], 2)
+
     spark = get_spark(app_name="kgpipe-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -170,6 +176,8 @@ def main() -> None:
         "kg_triples": n_triples,
         "kg_triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec > 0 else None,
         "cores": cpus,
+        "load_1m_start": load_start,
+        "load_1m_end": round(os.getloadavg()[0], 2),
     }
     spark.stop()
     print(json.dumps(result))

@@ -186,6 +186,48 @@ class Element:
         names = None
         if name is not None:
             names = {name} if isinstance(name, str) else set(name)
+        # Document-root searches are served from the build-time indexes
+        # (creation order == preorder for html.parser trees, so results
+        # and their order are identical to the DFS — property-asserted
+        # in test_fuzz_parsers). Subtree searches stay DFS: they'd need
+        # a containment walk per candidate and subtrees are small.
+        if (
+            recursive
+            and self.parent is None
+            and self.__class__ is Document
+            and self.class_index is not None
+        ):
+            if class_ is not None:
+                cands = self.class_index.get(class_.split()[0], ())
+            elif names is not None and len(names) == 1:
+                cands = self.tag_index.get(next(iter(names)), ())
+            else:
+                cands = None  # name-list / unfiltered: DFS below
+            if cands is not None:
+                for el in cands:
+                    # decompose() detaches nodes but never edits the
+                    # index — drop candidates no longer under the root
+                    p = el.parent
+                    while p is not None and p is not self:
+                        p = p.parent
+                    if p is None:
+                        continue
+                    if names is not None and el.name not in names:
+                        continue
+                    if class_ is not None and not _class_matches(el, class_):
+                        continue
+                    if attrs:
+                        if any(el.attrs.get(k) != v for k, v in attrs.items()):
+                            continue
+                    if string is not None:
+                        s = el.string
+                        if callable(string):
+                            if not string(s):
+                                continue
+                        elif s != string:
+                            continue
+                    yield el
+                return
         # iterative preorder DFS without nested generator frames (hot path)
         stack = [c for c in self.children[::-1] if c.__class__ is Element]
         pop = stack.pop
@@ -232,6 +274,39 @@ class Element:
         return current
 
 
+class Document(Element):
+    """The document root. Carries find-indexes built during parsing:
+    ``tag_index[name]`` / ``class_index[token]`` list elements in
+    creation order (== document preorder), so root-level ``find`` /
+    ``find_all`` — the term/hanzi parsers' dominant access pattern, 5-6
+    full-tree scans per page — become candidate-list filters instead of
+    whole-document DFS walks. ``decompose`` never edits the indexes;
+    lookups re-verify attachment by walking parents back to the root."""
+
+    __slots__ = ("tag_index", "class_index")
+
+    def __init__(self) -> None:
+        super().__init__("[document]", {})
+        self.tag_index: Optional[dict] = None
+        self.class_index: Optional[dict] = None
+
+
+def _index_element(el: Element, tag_index: dict, class_index: dict) -> None:
+    lst = tag_index.get(el.name)
+    if lst is None:
+        tag_index[el.name] = [el]
+    else:
+        lst.append(el)
+    cls = el.attrs.get("class")
+    if cls:
+        for c in cls.split():
+            clst = class_index.get(c)
+            if clst is None:
+                class_index[c] = [el]
+            else:
+                clst.append(el)
+
+
 def _class_matches(el: Element, class_: str) -> bool:
     # bs4: a multi-class query string matches the raw attribute value
     # exactly; a single class matches by membership in the class list.
@@ -243,18 +318,22 @@ def _class_matches(el: Element, class_: str) -> bool:
 class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.root = Element("[document]", {})
+        self.root = Document()
+        self.root.tag_index = {}
+        self.root.class_index = {}
         self.stack = [self.root]
 
     def handle_starttag(self, tag, attrs):
         el = Element(tag, {k: (v if v is not None else "") for k, v in attrs}, self.stack[-1])
         self.stack[-1].children.append(el)
+        _index_element(el, self.root.tag_index, self.root.class_index)
         if tag not in VOID_ELEMENTS:
             self.stack.append(el)
 
     def handle_startendtag(self, tag, attrs):
         el = Element(tag, {k: (v if v is not None else "") for k, v in attrs}, self.stack[-1])
         self.stack[-1].children.append(el)
+        _index_element(el, self.root.tag_index, self.root.class_index)
 
     def handle_endtag(self, tag):
         # close the innermost matching open tag (html.parser tolerance)
@@ -381,6 +460,8 @@ def _scan_starttag(html: str, lt: int, stack: list) -> int:
     parent = stack[-1]
     el = Element(tag, attrs, parent)
     parent.children.append(el)
+    root = stack[0]
+    _index_element(el, root.tag_index, root.class_index)
     if not self_closing and tag not in VOID_ELEMENTS:
         stack.append(el)
         if tag in ("script", "style"):
@@ -414,7 +495,11 @@ def _consume_raw(html: str, pos: int, stack: list) -> int:
 
 
 def _fast_parse(html: str) -> Element:
-    root = Element("[document]", {})
+    root = Document()
+    tag_index: dict = {}
+    class_index: dict = {}
+    root.tag_index = tag_index
+    root.class_index = class_index
     stack = [root]
     pos, n = 0, len(html)
     while pos < n:
@@ -450,6 +535,19 @@ def _fast_parse(html: str) -> Element:
                 parent = stack[-1]
                 el = Element(tag, attrs, parent)
                 parent.children.append(el)
+                lst = tag_index.get(tag)
+                if lst is None:
+                    tag_index[tag] = [el]
+                else:
+                    lst.append(el)
+                cls = attrs.get("class")
+                if cls:
+                    for c in cls.split():
+                        clst = class_index.get(c)
+                        if clst is None:
+                            class_index[c] = [el]
+                        else:
+                            clst.append(el)
                 pos = m.end()
                 raw = False
                 if not m.group(3) and tag not in VOID_ELEMENTS:

@@ -69,16 +69,27 @@ class GraphResult:
     family_counts: dict
 
 
+def _rewrite_canonical(edges: DataFrame, nodes: DataFrame) -> DataFrame | None:
+    """Endpoint rewrite through the alias mapping (CC over variant-of
+    edges) WITHOUT the re-dedup pass — may carry duplicate (src, dst,
+    rel_type) rows where aliases collapsed. None when no alias graph
+    exists (canonicalization is the identity)."""
+    mapping = canonical_mapping(edges.where(F.col("rel_type") == "variant-of"), nodes)
+    if mapping is None:
+        return None
+    return apply_canonicalization(edges, mapping)
+
+
 def canonicalize_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     """Global alias canonicalization: CC over variant-of edges, endpoint
     rewrite, re-dedup. Must run over the *complete* edge set (variant
     clusters can span work-unit boundaries), which is why the runner
     calls this after all buckets merge, not per bucket."""
-    mapping = canonical_mapping(edges.where(F.col("rel_type") == "variant-of"), nodes)
-    if mapping is None:  # no alias graph
+    rewritten = _rewrite_canonical(edges, nodes)
+    if rewritten is None:  # no alias graph
         return edges
     return T.dedup_edges(
-        apply_canonicalization(edges, mapping).withColumn("lineage", F.col("src_name"))
+        rewritten.withColumn("lineage", F.col("src_name"))
     ).drop("lineage")
 
 
@@ -418,10 +429,20 @@ def build_graph(
         edges = edges.localCheckpoint(eager=True)
 
     # ---- canonicalization (variant-of alias graph → CC) --------------------
-    edges_canonical = canonicalize_edges(edges, nodes)
-
-    # ---- name-level triples (golden P/R gate) ------------------------------
-    triples = triples_view(edges_canonical)
+    rewritten = _rewrite_canonical(edges, nodes)
+    if rewritten is None:  # no alias graph: canonicalization is the identity
+        edges_canonical = edges
+        triples = triples_view(edges)
+    else:
+        edges_canonical = T.dedup_edges(
+            rewritten.withColumn("lineage", F.col("src_name"))
+        ).drop("lineage")
+        # the name-level distinct in triples_view subsumes the id-level
+        # re-dedup (it only removes duplicate (src, dst, rel) rows), so
+        # the flagship triples path skips that full-edge-set shuffle and
+        # reads the rewrite output directly — identical triple set,
+        # asserted by test_triples_from_rewrite_equals_from_canonical
+        triples = triples_view(rewritten)
 
     missing = idiom_missing.withColumn("entity_type", F.lit("Idiom")).unionByName(
         word_missing.withColumn("entity_type", F.lit("Word"))

@@ -60,6 +60,39 @@ def test_dom_structural_invariants(html):
     assert isinstance(doc.get_text(), str)
 
 
+@settings(max_examples=150, deadline=None)
+@given(
+    _SOUP,
+    st.sampled_from(["div", "p", "span", "a", "h1", "label", None]),
+    st.sampled_from(["ci-title", "explain", "no", "explain primary", None]),
+)
+def test_root_index_find_matches_dfs(html, tag, cls):
+    """Root-level searches served from the build-time tag/class indexes
+    must return the IDENTICAL element sequence as the pure-DFS walk —
+    including after decompose() detaches candidates (the index is never
+    edited; lookups re-verify attachment)."""
+    doc = parse_html(html)
+    assert doc.class_index is not None  # both build paths populate it
+
+    def both(d):
+        via_index = d.find_all(tag, class_=cls)
+        saved_t, saved_c = d.tag_index, d.class_index
+        d.tag_index = d.class_index = None  # force the DFS path
+        try:
+            via_dfs = d.find_all(tag, class_=cls)
+        finally:
+            d.tag_index, d.class_index = saved_t, saved_c
+        assert len(via_index) == len(via_dfs)
+        for a, b in zip(via_index, via_dfs):
+            assert a is b
+        return via_index
+
+    hits = both(doc)
+    if hits:
+        hits[0].decompose()
+        both(doc)
+
+
 @settings(max_examples=100, deadline=None)
 @given(_SOUP, st.sampled_from(["div", "p", "span", "a"]))
 def test_find_all_consistent_with_find(html, tag):

@@ -32,6 +32,21 @@ def test_golden_triple_precision_recall(graph, small_corpus):
     assert (p, r) == (1.0, 1.0)
 
 
+def test_triples_from_rewrite_equals_from_canonical(graph):
+    """The flagship triples path skips the id-level re-dedup after the
+    alias rewrite (pipeline.py build_graph) — the name-level distinct
+    must make that unobservable: triples_view over the deduped
+    edges_canonical yields the identical set."""
+    from kgpipe.pipeline import triples_view
+
+    via_rewrite = {(r.subj, r.pred, r.obj) for r in graph.triples.collect()}
+    via_canonical = {
+        (r.subj, r.pred, r.obj)
+        for r in triples_view(graph.edges_canonical).collect()
+    }
+    assert via_rewrite == via_canonical
+
+
 def test_missing_detail_pages_counted(graph, small_corpus):
     # the generator plants seeds with no page and h1-mismatch pages
     assert graph.missing.count() > 0
