@@ -51,12 +51,40 @@ IMAGE_META_SCHEMA = StructType(
 )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png_ihdr(data: bytes) -> tuple[int, int] | None:
+    """TRUE (width, height) from a PNG's IHDR chunk — pure Python, no
+    native codec (PNG spec §5.2/§11.2.2: 8-byte signature, then the IHDR
+    chunk whose first 8 data bytes are big-endian width/height). Returns
+    None for non-PNG or truncated bytes, so callers fall through to
+    their codec/stub path."""
+    if (
+        len(data) < 24
+        or not data.startswith(_PNG_MAGIC)
+        or data[12:16] != b"IHDR"
+    ):
+        return None
+    width = int.from_bytes(data[16:20], "big")
+    height = int.from_bytes(data[20:24], "big")
+    if width == 0 or height == 0:
+        return None
+    return (width, height)
+
+
 def _decode_image_stub(payload: bytes, strict: bool) -> tuple[int, int, str]:
-    """STUB: real deployment decodes via PIL/opencv. The fake is a pure
-    deterministic function of the bytes so tests are reproducible."""
+    """No-codec decode: PNG headers are parsed for REAL dimensions (pure
+    Python — no library needed); other formats fall back to the stub, a
+    deterministic fake derived from the bytes so tests are reproducible.
+    A real deployment swaps in PIL/opencv via ``decode=``/autodetect."""
+    ihdr = parse_png_ihdr(payload or b"")
+    if ihdr is not None:
+        return (ihdr[0], ihdr[1], "png")
     if strict:
         raise NotImplementedError(
-            "image decode requires PIL/opencv, not present in this container"
+            "non-PNG image decode requires PIL/opencv, not present in this "
+            "container (PNG dimensions parse codec-free via parse_png_ihdr)"
         )
     h = hashlib.sha256(payload or b"").digest()
     return (64 + h[0] % 64, 64 + h[1] % 64, ["png", "jpeg", "webp"][h[2] % 3])

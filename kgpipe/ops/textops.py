@@ -40,6 +40,35 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def _fanout_barrier(df: DataFrame, reliable: bool = False) -> DataFrame:
+    """Pin a fan-out intermediate so concurrent consumers never recompute
+    its lineage. Both forms are LAZY (operator construction stays
+    job-free; materialization happens at the first consuming action).
+
+    ``reliable=False`` (default): ``localCheckpoint`` — executor-local,
+    non-replicated blocks. Fastest, but an executor loss mid-job loses
+    them with NO recompute path (lineage is truncated): the job fails
+    and must restart.
+
+    ``reliable=True``: ``checkpoint`` — the intermediate is written to
+    the SparkContext checkpoint directory (HDFS/object store on a real
+    cluster), so executor loss recomputes from the checkpoint files and
+    the job survives. Costs one distributed write+read round-trip; the
+    fault-tolerant choice for a 100 TB run that cannot afford a restart.
+    Requires ``spark.sparkContext.setCheckpointDir(...)`` — raised
+    eagerly here (cheap driver check) rather than failing mid-job.
+    """
+    if not reliable:
+        return df.localCheckpoint(eager=False)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        raise ValueError(
+            "reliable=True needs a checkpoint directory: call "
+            "spark.sparkContext.setCheckpointDir('<durable path>') first"
+        )
+    return df.checkpoint(eager=False)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -291,7 +320,11 @@ def _word_ngram_hashes(text_col: str, n: int) -> str:
 
 
 def duplicate_ngram_spans(
-    docs: DataFrame, n: int = 8, min_docs: int = 2, text_col: str = "text"
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    reliable: bool = False,
 ) -> DataFrame:
     """Exact substring-duplication detection (the hashed-n-gram form of
     Lee et al. 2022 "Deduplicating Training Data Makes Language Models
@@ -314,23 +347,24 @@ def duplicate_ngram_spans(
     builds; it is released by the ContextCleaner once the result frame is
     garbage-collected.
 
-    The barrier is a LAZY ``localCheckpoint`` (eager=False): operator
-    construction stays free of jobs (the plan-declaration contract every
-    other operator keeps), and the single materialization happens at the
-    first consuming action, after which both the duplicated-gram
-    aggregation and the participant lookup read the checkpointed blocks.
-    Trade-off, stated for the 100 TB claim: localCheckpoint blocks are
-    executor-local and non-replicated, so an executor loss mid-job loses
-    them with no recompute path — a production deployment that cannot
-    afford a job restart should swap this barrier for a reliable
-    checkpoint (write the (doc_id, gram_hash) projection to a scratch
-    table and read it back).
+    The barrier is LAZY (``_fanout_barrier``): operator construction
+    stays free of jobs (the plan-declaration contract every other
+    operator keeps), and the single materialization happens at the first
+    consuming action, after which both the duplicated-gram aggregation
+    and the participant lookup read the checkpointed blocks. The default
+    is executor-local blocks (fast, lost on executor failure — the job
+    restarts); ``reliable=True`` swaps in a reliable checkpoint of the
+    (doc_id, gram_hash) projection so a 100 TB run survives executor
+    loss (see ``_fanout_barrier``).
     """
     gram_arr = _word_ngram_hashes(text_col, n)
-    doc_grams = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.expr(gram_arr))).alias("gram_hash"),
-    ).localCheckpoint(eager=False)
+    doc_grams = _fanout_barrier(
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(gram_arr))).alias("gram_hash"),
+        ),
+        reliable=reliable,
+    )
     # per-(doc, gram) rows are distinct by construction, so a plain count
     # IS countDistinct(doc_id) — no second dedup pass
     dup = (
@@ -356,6 +390,7 @@ def remove_duplicate_spans(
     min_docs: int = 2,
     text_col: str = "text",
     keep_first: bool = False,
+    reliable: bool = False,
 ) -> DataFrame:
     """The OUTPUT stage of exact substring dedup (Lee et al. 2022): cut
     duplicated word-n-gram ranges out of documents. A token is removed
@@ -381,7 +416,9 @@ def remove_duplicate_spans(
     integer position arithmetic + the same tokenizer the span detector
     used.
     """
-    spans = duplicate_ngram_spans(docs, n=n, min_docs=min_docs, text_col=text_col)
+    spans = duplicate_ngram_spans(
+        docs, n=n, min_docs=min_docs, text_col=text_col, reliable=reliable
+    )
     if keep_first:
         keeper = spans.groupBy("gram_hash").agg(F.min("doc_id").alias("_keeper"))
         spans = spans.join(keeper, "gram_hash").where(
@@ -485,11 +522,18 @@ def ngram_contamination(
     )
 
 
-def token_vocabulary(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
-    """Corpus-wide vocabulary induction: the top-``k`` whitespace tokens
-    by document frequency and total count — the counting pass a BPE/
-    tokenizer-training pipeline runs first. Deterministic ordering:
-    count desc, then token asc.
+def token_vocabulary(
+    docs: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Corpus-wide vocabulary induction: the top-``k`` tokens by document
+    frequency and total count — the counting pass a BPE/tokenizer-
+    training pipeline runs first. Deterministic ordering: count desc,
+    then token asc. Tokens default to whitespace splitting;
+    ``tokens_col`` names a pre-tokenized ``array<string>`` column (a
+    real tokenizer's output computed once upstream) to count instead.
 
     One explode → one hash-agg with map-side partial aggregation on the
     token key → global top-k (TakeOrderedAndProject, no full sort). Head
@@ -497,14 +541,14 @@ def token_vocabulary(docs: DataFrame, k: int = 100, text_col: str = "text") -> D
     aggregation collapses the skew before the shuffle: each map task
     emits one row per distinct token regardless of its frequency.
     """
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"filter(split(trim({text_col}), '\\\\s+'), t -> char_length(t) > 0)"
-            )
-        ).alias("token"),
+    tok_arr = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.expr(
+            f"filter(split(trim({text_col}), '\\\\s+'), t -> char_length(t) > 0)"
+        )
     )
+    toks = docs.select("doc_id", F.explode(tok_arr).alias("token"))
     return (
         toks.groupBy("token")
         .agg(
@@ -641,6 +685,7 @@ def prepare_training_corpus(
     span_min_docs: int = 2,
     text_col: str = "text",
     decisions: DataFrame | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """The full corpus-preparation product, end to end: (1) filter by
     quality floor, repetition ceiling and near-dup cluster survivorship
@@ -666,10 +711,10 @@ def prepare_training_corpus(
     the split needs, so the split never re-scans the corpus) and
     ``kept`` (the surviving documents with text, read by the span
     detector's gram projection, the positional re-explode, and the cut
-    join). Lazy ``localCheckpoint`` keeps construction job-free; the
-    blocks are executor-local (see ``duplicate_ngram_spans`` for the
-    fault-tolerance trade-off and the reliable-checkpoint alternative a
-    restart-intolerant 100 TB deployment should substitute).
+    join). The barriers stay lazy in both modes; ``reliable=True``
+    makes them (and the span detector's) reliable checkpoints so
+    executor loss recomputes instead of failing the job — the
+    restart-intolerant 100 TB configuration (see ``_fanout_barrier``).
 
     ``decisions``: pass an already-computed ``clean_corpus`` frame
     (same filter params) to reuse it instead of re-deriving — the
@@ -686,12 +731,15 @@ def prepare_training_corpus(
             num_hashes=num_hashes,
             bands=bands,
         )
-    keep_ids = (
-        decisions.where(F.col("keep")).select("doc_id").localCheckpoint(eager=False)
+    keep_ids = _fanout_barrier(
+        decisions.where(F.col("keep")).select("doc_id"), reliable=reliable
     )
-    kept = docs.join(keep_ids, "doc_id", "left_semi").localCheckpoint(eager=False)
+    kept = _fanout_barrier(
+        docs.join(keep_ids, "doc_id", "left_semi"), reliable=reliable
+    )
     cut = remove_duplicate_spans(
-        kept, n=span_n, min_docs=span_min_docs, text_col=text_col, keep_first=True
+        kept, n=span_n, min_docs=span_min_docs, text_col=text_col,
+        keep_first=True, reliable=reliable,
     )
     split = stratified_split(keep_ids).select("doc_id", "split")
     return cut.join(split, "doc_id").select(
@@ -708,6 +756,7 @@ def pack_sequences(
     seq_len: int = 2048,
     n_buckets: int = 1024,
     text_col: str = "text",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing — the GPT-style training
     layout: documents are concatenated into a token stream and cut into
@@ -723,15 +772,20 @@ def pack_sequences(
     ``stratified_split`` trick — growth- and partitioning-invariant),
     and each bucket packs in doc_id order. The only shuffle is the
     window over the uniform bucket key; per-bucket sort state is
-    |corpus|/n_buckets. Token counts are whitespace tokens (swap the
-    tokenizer by passing a pre-tokenized count column upstream).
+    |corpus|/n_buckets. Token counts default to whitespace tokens;
+    ``n_tokens_col`` names a pre-tokenized count column (a real BPE
+    count computed once upstream) to use instead — the tokenizer hook
+    shared with ``token_vocabulary`` / ``corpus_source_stats``.
     Returns (doc_id, bucket, n_tokens, tok_offset, start_seq, end_seq).
     """
-    toks = F.size(
-        F.filter(
-            F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: F.length(t) > 0
+    if n_tokens_col is not None:
+        toks = F.col(n_tokens_col).cast("int")
+    else:
+        toks = F.size(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: F.length(t) > 0
+            )
         )
-    )
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
             "long"
@@ -836,18 +890,25 @@ def weighted_sample(
 
 
 def corpus_source_stats(
-    docs: DataFrame, source_col: str = "source", text_col: str = "text"
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
-    """Per-source dataset-card aggregates: document count, total
-    whitespace tokens, exact mean document length (chars, 2 dp) and
-    distinct languages — the summary table every corpus release ships
-    with. One hash-agg with map-side partial aggregation on the bounded
-    source key; the token count is a row-local projection fused into the
-    same scan. Returns (source, n_docs, total_tokens, mean_chars,
-    n_langs)."""
-    toks = F.size(
-        F.filter(F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: F.length(t) > 0)
-    )
+    """Per-source dataset-card aggregates: document count, total tokens,
+    exact mean document length (chars, 2 dp) and distinct languages —
+    the summary table every corpus release ships with. One hash-agg with
+    map-side partial aggregation on the bounded source key; the token
+    count is a row-local projection fused into the same scan (or read
+    from ``n_tokens_col``, a pre-tokenized count computed once upstream
+    — the tokenizer hook shared with ``pack_sequences``). Returns
+    (source, n_docs, total_tokens, mean_chars, n_langs)."""
+    if n_tokens_col is not None:
+        toks = F.col(n_tokens_col).cast("long")
+    else:
+        toks = F.size(
+            F.filter(F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: F.length(t) > 0)
+        )
     return (
         docs.select(
             F.col(source_col).alias("source"),

@@ -755,6 +755,36 @@ def pack_sequences(spark, sf):
     )
 
 
+_PACK_PRETOK_ORACLE = """
+WITH staged AS (
+  SELECT doc_id,
+    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 8 AS INT) AS bucket,
+    CAST(ceil(length(text) / 4.0) AS INT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, bucket, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens AS BIGINT) AS tok_offset
+  FROM staged
+)
+SELECT doc_id, bucket, n_tokens, tok_offset,
+  CAST(floor(tok_offset / 64.0) AS BIGINT) AS start_seq,
+  CAST(floor((tok_offset + greatest(n_tokens - 1, 0)) / 64.0) AS BIGINT) AS end_seq
+FROM cum
+"""
+
+
+@_q("pack_pretokenized", _PACK_PRETOK_ORACLE)
+def pack_pretokenized(spark, sf):
+    # the tokenizer hook: a pre-computed token count (here a BPE-ish
+    # chars/4 proxy, deterministic in both engines) flows through the
+    # packing manifest instead of the default whitespace re-split —
+    # exercising n_tokens_col end-to-end against the oracle
+    docs = _t(spark, sf, "documents").withColumn(
+        "bpe_n", F.ceil(F.char_length("text") / 4).cast("int")
+    )
+    return textops.pack_sequences(docs, seq_len=64, n_buckets=8, n_tokens_col="bpe_n")
+
+
 def _pii_augmented_sql(engine: str) -> str:
     """Both sides synthesize the SAME deterministic PII into the corpus
     text (the synthetic documents carry none), so the gate checks real

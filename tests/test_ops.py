@@ -192,6 +192,43 @@ def test_token_vocabulary(spark):
     ]
 
 
+def test_pretokenized_column_hook(spark):
+    """The tokenizer hook (VERDICT r5 item 7): a real tokenizer's output
+    computed once upstream flows through vocab induction, packing and
+    source cards — no whitespace re-splitting anywhere on that path."""
+    docs = spark.createDataFrame(
+        [
+            (1, "b a a", "web", "en", ["b##", "aa"]),
+            (2, "a b", "web", "en", ["aa", "aa"]),
+            (3, "c", "books", "fr", ["c##"]),
+        ],
+        "doc_id long, text string, source string, lang string, toks array<string>",
+    )
+    # vocab counts the supplied arrays, not the whitespace tokens
+    vocab = textops.token_vocabulary(docs, k=1, tokens_col="toks").collect()
+    assert [(r.token, r.total_count, r.doc_freq) for r in vocab] == [("aa", 3, 2)]
+
+    # packing consumes the supplied count; bucketing/offsets unchanged
+    staged = docs.withColumn("bpe_n", F.size("toks"))
+    via_col = textops.pack_sequences(
+        staged, seq_len=4, n_buckets=2, n_tokens_col="bpe_n"
+    ).collect()
+    assert {r.doc_id: r.n_tokens for r in via_col} == {1: 2, 2: 2, 3: 1}
+    # default path on a text column with the same token counts agrees
+    default = textops.pack_sequences(
+        docs.withColumn("text", F.array_join("toks", " ")), seq_len=4, n_buckets=2
+    ).collect()
+    assert sorted(map(tuple, via_col)) == sorted(map(tuple, default))
+
+    # source cards sum the supplied count
+    stats = {
+        r.source: r
+        for r in textops.corpus_source_stats(staged, n_tokens_col="bpe_n").collect()
+    }
+    assert stats["web"].total_tokens == 4 and stats["books"].total_tokens == 1
+    assert stats["web"].n_docs == 2 and stats["web"].n_langs == 1
+
+
 def test_repetition_stats(spark):
     docs = spark.createDataFrame(
         [(1, "a b a b a b"), (2, "a b c d"), (3, "a")],
@@ -478,6 +515,47 @@ def test_multimodal_image_meta(spark):
     # deterministic: same payload → same fake dimensions
     again = {m.media_id: (m.width, m.height) for m in image_metadata(media).collect()}
     assert all((m.width, m.height) == again[m.media_id] for m in meta)
+
+
+def _png_bytes(width: int, height: int) -> bytearray:
+    """Minimal real PNG prefix: signature + IHDR chunk (length/type/
+    width/height/bit-depth..., CRC left zeroed — the header parser never
+    reads past the dimension fields)."""
+    return bytearray(
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 6, 0, 0, 0])
+        + b"\x00\x00\x00\x00"
+    )
+
+
+def test_multimodal_png_ihdr_true_dimensions(spark):
+    """PNG payloads report their TRUE dimensions codec-free (pure-Python
+    IHDR parse — VERDICT r5 item 6); non-PNG bytes keep the
+    deterministic stub; truncated PNGs fall back rather than erroring."""
+    from kgpipe.ops.multimodal import parse_png_ihdr
+
+    assert parse_png_ihdr(bytes(_png_bytes(640, 480))) == (640, 480)
+    assert parse_png_ihdr(bytes(_png_bytes(1, 1))[:20]) is None  # truncated
+    assert parse_png_ihdr(b"not a png at all, definitely") is None
+
+    rows = [
+        (1, "image", _png_bytes(640, 480), "image/png"),
+        (2, "image", _png_bytes(99999, 3), "image/png"),
+        (3, "image", bytearray(b"jpeg-ish opaque bytes"), "image/jpeg"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    meta = {m.media_id: m for m in image_metadata(media).collect()}
+    assert (meta[1].width, meta[1].height, meta[1].format) == (640, 480, "png")
+    assert (meta[2].width, meta[2].height) == (99999, 3)
+    assert 64 <= meta[3].width < 128  # stub fake for the non-PNG
+    # strict: PNG still parses (real metadata), non-PNG raises
+    png_only = spark.createDataFrame(rows[:2], MEDIA_SCHEMA)
+    strict_meta = {m.media_id: m for m in image_metadata(png_only, strict=True).collect()}
+    assert strict_meta[1].width == 640
 
 
 def test_multimodal_strict_raises(spark):

@@ -159,6 +159,63 @@ def test_duplicate_ngram_spans_lazy_construction(spark):
     sc.setJobGroup("default", "")
 
 
+def test_reliable_barrier_survives_block_loss(spark, tmp_path):
+    """VERDICT r5 item: the fan-out barriers need an implemented
+    fault-tolerant path, not just a documented one. Default barriers are
+    executor-local localCheckpoint blocks: dropping them (simulating
+    executor loss via unpersist) kills the job — lineage is truncated,
+    there is nothing to recompute from. reliable=True writes a reliable
+    checkpoint instead: the same block loss recomputes from the
+    checkpoint files and the job succeeds with identical results.
+    Construction must stay lazy (job-free) in BOTH modes."""
+    import pytest as _pytest
+
+    from kgpipe.ops import textops
+
+    rows = [(i, f"alpha beta gamma delta {'dup text block ' * 9} tail{i % 3}")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sc = spark.sparkContext
+
+    def drop_new_blocks(before):
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            if int(rid) not in before:
+                jmap.get(rid).unpersist(True)
+
+    # reliable=True without a checkpoint dir: eager, clear driver error
+    if sc.getCheckpointDir() is None:
+        with _pytest.raises(ValueError, match="checkpoint directory"):
+            textops.duplicate_ngram_spans(docs, n=4, reliable=True)
+
+    # default (executor-local) path: block loss after materialization is
+    # fatal on re-read — this is the documented trade-off, demonstrated
+    before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    spans_local = textops.duplicate_ngram_spans(docs, n=4)
+    local_rows = spans_local.count()
+    drop_new_blocks(before)
+    with _pytest.raises(Exception):
+        spans_local.collect()
+
+    # reliable path: identical block loss recomputes from checkpoint files
+    # session-global setting; harmless to leave pointed at tmp_path
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    sc.setJobGroup("reliable-construct", "declaration must stay lazy")
+    spans_rel = textops.duplicate_ngram_spans(docs, n=4, reliable=True)
+    assert sc.statusTracker().getJobIdsForGroup("reliable-construct") == []
+    sc.setJobGroup("default", "")
+    first = sorted(map(tuple, spans_rel.collect()))
+    drop_new_blocks(before)
+    again = sorted(map(tuple, spans_rel.collect()))
+    assert first == again and len(first) == local_rows
+    # composed form accepts the flag end-to-end (real-shaped docs so the
+    # quality/repetition gate keeps some survivors)
+    real_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = textops.prepare_training_corpus(real_docs, reliable=True)
+    assert out.count() > 0
+
+
 def test_prepare_training_corpus_filter_lineage_behind_barriers(spark):
     """VERDICT r4 item 1: the expensive filter lineage (fused quality/
     repetition scan + LSH banding + decision semi-join) must evaluate
