@@ -160,6 +160,12 @@ def main() -> None:
     for name in HEADLINE:
         _force(QUERIES[name](spark, sf_dir))
     gc.collect()
+    # pay the JVM GC debt accumulated by the kg rounds + warmup OUTSIDE
+    # the timed windows: the first allocation-heavy query after them
+    # (dedup_minhash_lsh, ~8 md5 allocations per shingle) otherwise
+    # absorbs a full-GC pause that belongs to earlier phases — observed
+    # as a bimodal 2s/15-33s artifact value for that one query
+    sc._jvm.System.gc()
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.time()

@@ -115,7 +115,9 @@ def _elect_winners(comp: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
-def canonical_mapping(variant_edges: DataFrame, nodes: DataFrame) -> DataFrame:
+def canonical_mapping(
+    variant_edges: DataFrame, nodes: DataFrame | None = None
+) -> DataFrame:
     """(node_id → canonical_id, canonical_name) from variant-of edges.
 
     canonical member = lexicographically smallest *name* in the component
@@ -123,7 +125,29 @@ def canonical_mapping(variant_edges: DataFrame, nodes: DataFrame) -> DataFrame:
     paths; only the component computation differs). Nodes outside any
     variant cluster map to themselves implicitly (callers left-join and
     coalesce).
+
+    ``nodes`` supplies the (node_id, name) lookup for the election.
+    Pass None to derive it FROM THE VARIANT EDGES THEMSELVES — edge rows
+    carry both endpoint names, and node_id = xxhash64(type, name) makes
+    the (id, name) pairing a function of the id, so the edge-derived
+    lookup is identical to the node table's (asserted by
+    test_mapping_from_edge_names_equals_from_nodes). This keeps the
+    heavyweight node pipeline (endpoint-stub distinct over every edge
+    mention + the upsert window election) OFF the flagship triples path,
+    which only ever needs names for the alias-cluster members.
     """
+    if nodes is None:
+        nodes = (
+            variant_edges.select(
+                F.col("src_id").alias("node_id"), F.col("src_name").alias("name")
+            )
+            .unionByName(
+                variant_edges.select(
+                    F.col("dst_id").alias("node_id"), F.col("dst_name").alias("name")
+                )
+            )
+            .distinct()
+        )
     spark = variant_edges.sparkSession
     slim = variant_edges.select("src_id", "dst_id")
     # one job decides the path AND fetches the small-graph data: collect up

@@ -69,18 +69,25 @@ class GraphResult:
     family_counts: dict
 
 
-def _rewrite_canonical(edges: DataFrame, nodes: DataFrame) -> DataFrame | None:
+def _rewrite_canonical(edges: DataFrame, nodes: DataFrame = None) -> DataFrame | None:
     """Endpoint rewrite through the alias mapping (CC over variant-of
     edges) WITHOUT the re-dedup pass — may carry duplicate (src, dst,
     rel_type) rows where aliases collapsed. None when no alias graph
-    exists (canonicalization is the identity)."""
+    exists (canonicalization is the identity).
+
+    ``nodes`` is the optional (node_id, name) lookup for winner election
+    — None (the flagship path) derives it from the variant edges
+    themselves: computing the node table (endpoint-stub distinct +
+    upsert window over every edge mention) just to name ~|alias graph|
+    members would put the whole node pipeline on the triples path. The
+    runner passes its already-materialized warehouse nodes instead."""
     mapping = canonical_mapping(edges.where(F.col("rel_type") == "variant-of"), nodes)
     if mapping is None:
         return None
     return apply_canonicalization(edges, mapping)
 
 
-def canonicalize_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+def canonicalize_edges(edges: DataFrame, nodes: DataFrame = None) -> DataFrame:
     """Global alias canonicalization: CC over variant-of edges, endpoint
     rewrite, re-dedup. Must run over the *complete* edge set (variant
     clusters can span work-unit boundaries), which is why the runner
@@ -429,7 +436,9 @@ def build_graph(
         edges = edges.localCheckpoint(eager=True)
 
     # ---- canonicalization (variant-of alias graph → CC) --------------------
-    rewritten = _rewrite_canonical(edges, nodes)
+    # nodes NOT passed: the election's name lookup derives from the
+    # variant edges, keeping the node pipeline off the flagship path
+    rewritten = _rewrite_canonical(edges)
     if rewritten is None:  # no alias graph: canonicalization is the identity
         edges_canonical = edges
         triples = triples_view(edges)

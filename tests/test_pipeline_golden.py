@@ -47,6 +47,27 @@ def test_triples_from_rewrite_equals_from_canonical(graph):
     assert via_rewrite == via_canonical
 
 
+def test_mapping_from_edge_names_equals_from_nodes(graph):
+    """The flagship path derives the winner-election name lookup from
+    the variant edges instead of the node table (node_id = xxhash64(
+    type, name) makes (id, name) a function of the id) — the mapping
+    must be identical either way."""
+    from pyspark.sql import functions as F
+
+    from kgpipe.canon import canonical_mapping
+
+    variant = graph.edges.where(F.col("rel_type") == "variant-of")
+    from_edges = {
+        (r.node_id, r.canonical_id, r.canonical_name)
+        for r in canonical_mapping(variant).collect()
+    }
+    from_nodes = {
+        (r.node_id, r.canonical_id, r.canonical_name)
+        for r in canonical_mapping(variant, graph.nodes).collect()
+    }
+    assert from_edges == from_nodes and from_edges
+
+
 def test_missing_detail_pages_counted(graph, small_corpus):
     # the generator plants seeds with no page and h1-mismatch pages
     assert graph.missing.count() > 0
