@@ -5,17 +5,25 @@ Spark-first discipline as the linguistics pipeline: row-local native
 regex extraction (no Python in the hot path), explode, window-over-hash
 dedup via the shared triple machinery.
 
-Two edge families demonstrate the shape end-to-end:
+Three edge families demonstrate the shape end-to-end, across eight
+languages (python, java, go, javascript, typescript, rust, c, cpp):
 
-  * imports-module:   file --imports-->  module   (python ``import x`` /
-    ``from x import``, java/go-style ``import a.b.c;``)
-  * defines-symbol:   file --defines-->  symbol   (python top-level
-    ``def``/``class`` declarations)
+  * imports-module:    file --imports-->  module  (``import``/``from``/
+    ``use``/``require``/``#include`` per language; go grouped
+    ``import ( ... )`` blocks via a nested block→member pattern)
+  * defines-symbol:    file --defines-->  symbol  (top-level ``def``/
+    ``class``/``func``/``fn``/``struct``/``interface`` declarations)
+  * declares-package:  file --declares--> package (go/java ``package``,
+    rust ``mod``)
 
-Both extractors are single-pass ``regexp_extract_all`` projections —
+All extractors are single-pass ``regexp_extract_all`` projections —
 whole-stage-codegen'd, zero shuffle before the dedup — and the regex
-subset is shared by Java (Spark) and RE2 (DuckDB), so every operator is
-oracle-checkable the same way the text operators are.
+subset is shared by Java (Spark) and Python ``re`` (the oracle), so
+every operator is oracle-checkable the same way the text operators are.
+Extraction is regex-level, not a lexer: comments and the raw-string /
+template-literal forms are stripped first (``_STRIP_PATTERNS``), but a
+quote character inside a string literal can still fool it — the
+documented shape limit shared with the strip pass.
 
 At 10^12 files: extraction is embarrassingly parallel (row-local); the
 only shuffles are the final distincts on the uniform (path, object)
@@ -28,16 +36,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: language → module-import patterns (group 1 = module). Kept to the
+#: javascript/typescript share one grammar surface for this extraction
+#: (TS adds ``interface``/``type`` declarations, harmless on JS input)
+_JS_IMPORTS = [
+    # `import x from 'y'` / `import {a, b} from "y"` / bare `import 'y'`
+    r"(?m)^import [^'\"\n]*['\"]([^'\"\n]+)['\"]",
+    # top-level `const x = require('y')` (and let/var/export const)
+    r"(?m)^(?:export )?(?:const|let|var) [^=\n]*= require\(['\"]([^'\"\n]+)['\"]\)",
+]
+_JS_DEFINES = [
+    r"(?m)^(?:export )?(?:default )?(?:async )?function ([A-Za-z_$][A-Za-z0-9_$]*)",
+    r"(?m)^(?:export )?(?:default )?(?:abstract )?class ([A-Za-z_$][A-Za-z0-9_$]*)",
+    r"(?m)^(?:export )?interface ([A-Za-z_$][A-Za-z0-9_$]*)",
+]
+
+#: language → module-import patterns (EXACTLY one capture group = the
+#: module: multi-group patterns would break both ``regexp_extract_all``'s
+#: group index and the oracle's ``re.findall``). Kept to the
 #: Java∩Python-re regex subset (the oracle re-applies them with ``re``);
-#: multiline flag via inline (?m).
+#: multiline flag via inline (?m). A ``(NESTED, outer, inner)`` tuple
+#: extracts outer-group-1 block bodies first, then inner-group-1 members
+#: within each block — go's grouped ``import ( ... )`` form.
+NESTED = "nested"
 _IMPORT_PATTERNS = {
     "python": [
         r"(?m)^import ([A-Za-z_][A-Za-z0-9_.]*)",
         r"(?m)^from ([A-Za-z_][A-Za-z0-9_.]*) import ",
     ],
     "java": [r"(?m)^import (?:static )?([A-Za-z_][A-Za-z0-9_.]*);"],
-    "go": [r"(?m)^import \"([^\"]+)\""],
+    "go": [
+        r"(?m)^import \"([^\"]+)\"",
+        # grouped form: every quoted member inside `import ( ... )`
+        (NESTED, r"(?sm)^import \(([^)]*)\)", r"\"([^\"\n]+)\""),
+    ],
+    "javascript": _JS_IMPORTS,
+    "typescript": _JS_IMPORTS,
+    "rust": [
+        r"(?m)^use ([A-Za-z_][A-Za-z0-9_]*(?:::[A-Za-z_][A-Za-z0-9_]*)*)",
+        r"(?m)^extern crate ([A-Za-z_][A-Za-z0-9_]*)",
+    ],
+    "c": [r"(?m)^# *include *[<\"]([^>\"\n]+)[>\"]"],
+    "cpp": [r"(?m)^# *include *[<\"]([^>\"\n]+)[>\"]"],
 }
 
 _DEFINE_PATTERNS = {
@@ -45,7 +84,39 @@ _DEFINE_PATTERNS = {
         r"(?m)^def ([A-Za-z_][A-Za-z0-9_]*)",
         r"(?m)^class ([A-Za-z_][A-Za-z0-9_]*)",
     ],
+    "java": [
+        r"(?m)^(?:public |final |abstract ){0,3}(?:class|interface|enum) ([A-Za-z_][A-Za-z0-9_$]*)",
+    ],
+    "go": [
+        # methods keep their name, the `(recv T)` receiver is skipped
+        r"(?m)^func (?:\([^)\n]*\) )?([A-Za-z_][A-Za-z0-9_]*)",
+        r"(?m)^type ([A-Za-z_][A-Za-z0-9_]*)",
+    ],
+    "javascript": _JS_DEFINES,
+    "typescript": _JS_DEFINES,
+    "rust": [
+        r"(?m)^(?:pub(?:\([a-z]*\))? )?fn ([A-Za-z_][A-Za-z0-9_]*)",
+        r"(?m)^(?:pub(?:\([a-z]*\))? )?(?:struct|enum|trait) ([A-Za-z_][A-Za-z0-9_]*)",
+    ],
+    "cpp": [r"(?m)^(?:class|struct) ([A-Za-z_][A-Za-z0-9_]*)"],
 }
+
+#: file --declares--> package: the container a file announces itself
+#: part of — go/java `package`, rust `mod` (a file-level module decl)
+_PACKAGE_PATTERNS = {
+    "go": [r"(?m)^package ([A-Za-z_][A-Za-z0-9_]*)"],
+    "java": [r"(?m)^package ([A-Za-z_][A-Za-z0-9_.]*);"],
+    "rust": [r"(?m)^(?:pub )?mod ([A-Za-z_][A-Za-z0-9_]*);"],
+}
+
+#: (predicate, per-language pattern table) — the single source of truth
+#: for code_triples AND the queries.py oracle, which re-applies exactly
+#: these patterns with Python `re`
+EDGE_FAMILIES = (
+    ("imports-module", _IMPORT_PATTERNS, "module"),
+    ("defines-symbol", _DEFINE_PATTERNS, "symbol"),
+    ("declares-package", _PACKAGE_PATTERNS, "package"),
+)
 
 #: language → comment/string-literal strip patterns, applied IN ORDER to
 #: the content before extraction so a docstring or block comment holding
@@ -55,14 +126,24 @@ _DEFINE_PATTERNS = {
 #: a string literal can still fool it (documented shape limit; the
 #: triple-quote patterns are non-greedy so consecutive docstrings don't
 #: merge). Same Java∩Python-re subset as the extraction patterns.
+_C_STYLE_STRIP = [r"(?s)/\*.*?\*/", r"(?m)//.*$"]
 _STRIP_PATTERNS = {
     "python": [
         '(?s)"""' + r".*?" + '"""',  # docstrings / triple-quoted strings
         r"(?s)'''.*?'''",
         r"(?m)#.*$",  # line comments
     ],
-    "java": [r"(?s)/\*.*?\*/", r"(?m)//.*$"],
-    "go": [r"(?s)/\*.*?\*/", r"(?m)//.*$", r"(?s)`[^`]*`"],  # + raw strings
+    "java": _C_STYLE_STRIP,
+    "go": _C_STYLE_STRIP + [r"(?s)`[^`]*`"],  # + raw strings
+    # template literals stripped like go raw strings; `//`-in-string (URLs)
+    # is the documented shape limit
+    "javascript": _C_STYLE_STRIP + [r"(?s)`[^`]*`"],
+    "typescript": _C_STYLE_STRIP + [r"(?s)`[^`]*`"],
+    # rust block comments nest; the non-greedy single level is the shape
+    # limit (a nested `/* /* */ */` leaves the outer tail uncommented)
+    "rust": _C_STYLE_STRIP,
+    "c": _C_STYLE_STRIP,
+    "cpp": _C_STYLE_STRIP,
 }
 
 
@@ -81,9 +162,18 @@ def _extract_exploded(
         stripped = F.col(content_col)
         for sp in _STRIP_PATTERNS.get(lang, ()):
             stripped = F.regexp_replace(stripped, sp, "")
-        arrs = [
-            F.regexp_extract_all(stripped, F.lit(p), F.lit(1)) for p in pats
-        ]
+        def _one(p, src=stripped):
+            if isinstance(p, tuple):  # (NESTED, outer, inner): block members
+                _, outer, inner = p
+                return F.flatten(
+                    F.transform(
+                        F.regexp_extract_all(src, F.lit(outer), F.lit(1)),
+                        lambda b: F.regexp_extract_all(b, F.lit(inner), F.lit(1)),
+                    )
+                )
+            return F.regexp_extract_all(src, F.lit(p), F.lit(1))
+
+        arrs = [_one(p) for p in pats]
         merged = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
         branches.append(
             files.where(F.col("lang") == lang).select(
@@ -109,6 +199,12 @@ def defined_symbols(files: DataFrame, content_col: str = "content") -> DataFrame
     return _extract_exploded(files, _DEFINE_PATTERNS, "symbol", content_col)
 
 
+def declared_packages(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """(repo, path, lang, package) — the package/module a file declares
+    itself part of: the 'file --declares--> package' edge family."""
+    return _extract_exploded(files, _PACKAGE_PATTERNS, "package", content_col)
+
+
 def code_triples(files: DataFrame, content_col: str = "content") -> DataFrame:
     """Name-level (subj, pred, obj) triples of the code KG — the same
     output surface as the linguistics pipeline's ``triples_view``, so a
@@ -116,37 +212,39 @@ def code_triples(files: DataFrame, content_col: str = "content") -> DataFrame:
     repo-qualified file id ``repo/path`` — two repos holding the same
     path (every repo's src/main.go importing fmt) are distinct files and
     must stay distinct subjects. Deterministic ordering-free set; dedup
-    is the distinct inside each family at (repo, path, obj) grain."""
+    is the distinct inside each family at (repo, path, obj) grain.
+    One family per ``EDGE_FAMILIES`` entry — extending a language or a
+    predicate is a pattern-table edit, never new plumbing."""
     subj = F.concat_ws("/", F.col("repo"), F.col("path")).alias("subj")
-    imports = import_edges(files, content_col).select(
-        subj,
-        F.lit("imports-module").alias("pred"),
-        F.col("module").alias("obj"),
-    )
-    defines = defined_symbols(files, content_col).select(
-        subj,
-        F.lit("defines-symbol").alias("pred"),
-        F.col("symbol").alias("obj"),
-    )
-    return imports.unionByName(defines)
+    out = None
+    for pred, patterns, out_col in EDGE_FAMILIES:
+        fam = _extract_exploded(files, patterns, out_col, content_col).select(
+            subj, F.lit(pred).alias("pred"), F.col(out_col).alias("obj")
+        )
+        out = fam if out is None else out.unionByName(fam)
+    return out
 
 
 # ---------------------------------------------------------------------------
 # deterministic synthetic source-repo table (tests / oracle gate)
 # ---------------------------------------------------------------------------
 
-def synthetic_source_files(n: int = 24) -> list:
+def synthetic_source_files(n: int = 32) -> list:
     """Deterministic (repo, path, commit, lang, content) rows — the
-    BASELINE.json input_hint shape — cycling python/java/go files with
-    known imports and definitions. Pure Python so the DuckDB oracle can
-    render the identical table as a VALUES CTE. Baked-in traps the gate
-    must NOT extract: comment/indented/docstring imports (python), block
-    comment + import-bearing string constant (java/go); plus the SAME
-    path in every repo (src/shared.py) so the gate fails if subjects
-    ever conflate files across repos again."""
+    BASELINE.json input_hint shape — cycling all eight supported
+    languages with known imports, definitions and package declarations.
+    Pure Python so the DuckDB oracle can render the identical table as a
+    VALUES CTE. Baked-in traps the gate must NOT extract, per language:
+    comment/indented/docstring imports (python), block/line-comment
+    imports (java, go, js/ts, rust, c, cpp), raw-string import (go),
+    template-literal import + line-commented require (js/ts), grouped-
+    import member behind a line comment (go); plus the SAME path in two
+    repos (src/shared.py) so the gate fails if subjects ever conflate
+    files across repos again."""
     rows = []
+    langs = ["python", "java", "go", "javascript", "typescript", "rust", "c", "cpp"]
     for i in range(n):
-        lang = ["python", "java", "go"][i % 3]
+        lang = langs[i % len(langs)]
         repo = f"repo{i % 4}"
         if lang == "python":
             path = f"src/mod_{i}.py"
@@ -164,17 +262,65 @@ def synthetic_source_files(n: int = 24) -> list:
             content = (
                 f"package app;\nimport java.util.List;\n"
                 f"import static org.lib_{i % 5}.Util.helper;\n"
-                "/*\nimport block.comment.Trap;\n*/\n"
+                "/*\nimport block.comment.Trap;\nclass BlockTrap {}\n*/\n"
                 "// import line.comment.Trap;\n"
                 f"public class Main_{i} {{}}\n"
+                f"abstract class Base_{i} {{}}\ninterface Iface_{i} {{}}\n"
             )
-        else:
+        elif lang == "go":
             path = f"src/main_{i}.go"
             content = (
                 f'package main\nimport "fmt"\nimport "example.com/dep_{i % 5}"\n'
-                "/*\nimport \"block/comment/trap\"\n*/\n"
+                f'import (\n\t"os"\n\t"lib/grouped_{i % 3}"\n\t// "lib/grouped_trap"\n)\n'
+                "/*\nimport \"block/comment/trap\"\nfunc blockTrap() {}\n*/\n"
                 'var doc = `raw string\nimport "raw/string/trap"\n`\n'
                 f"func main_{i}() {{}}\n"
+                f"func (s *Srv) Method_{i}() {{}}\ntype Cfg_{i} struct {{}}\n"
+            )
+        elif lang in ("javascript", "typescript"):
+            ext = "js" if lang == "javascript" else "ts"
+            iface = f"export interface Props_{i} {{}}\n" if ext == "ts" else ""
+            content = (
+                f"import React from 'react'\n"
+                f"import {{ helper }} from \"./util_{i % 5}\"\n"
+                f"import './styles_{i % 3}.css'\n"
+                f"const dep = require('lodash_{i % 2}')\n"
+                "// import trap from 'line-comment-trap'\n"
+                "/* import 'block-comment-trap' */\n"
+                "// const t = require('require-trap')\n"
+                "const tpl = `\nimport 'template-literal-trap'\n`\n"
+                f"export default function Component_{i}() {{}}\n"
+                f"class Widget_{i} {{}}\n" + iface
+            )
+            path = f"src/comp_{i}.{ext}"
+        elif lang == "rust":
+            path = f"src/lib_{i}.rs"
+            content = (
+                f"use std::collections::HashMap;\nuse crate_{i % 5}::prelude;\n"
+                "use std::{io, fmt};\n"
+                f"extern crate serde_{i % 2};\n"
+                f"mod submod_{i};\n"
+                "// use commented::line_trap;\n"
+                "/*\nuse commented::block_trap;\nfn block_trap() {}\n*/\n"
+                f"pub fn run_{i}() {{}}\nfn helper_{i}() {{}}\n"
+                f"pub struct State_{i};\nenum Mode_{i} {{}}\ntrait Act_{i} {{}}\n"
+            )
+        elif lang == "c":
+            path = f"src/core_{i}.c"
+            content = (
+                f"#include <stdio.h>\n#include \"core_{i % 5}.h\"\n"
+                "# include <spaced.h>\n"
+                "/*\n#include <block_trap.h>\n*/\n"
+                "// #include <line_trap.h>\n"
+                f"int main_{i}(void) {{ return 0; }}\n"
+            )
+        else:  # cpp
+            path = f"src/engine_{i}.cpp"
+            content = (
+                f"#include <vector>\n#include \"engine_{i % 5}.hpp\"\n"
+                "/*\n#include <block_trap.hpp>\nclass BlockTrap;\n*/\n"
+                "// #include <line_trap.hpp>\n"
+                f"class Engine_{i} {{}};\nstruct Opts_{i} {{}};\n"
             )
         rows.append((repo, path, f"c{i:04d}", lang, content))
     # the ADVICE counterexample: identical path in two different repos —
@@ -185,3 +331,57 @@ def synthetic_source_files(n: int = 24) -> list:
              "import shared_common\ndef shared_fn():\n    pass\n")
         )
     return rows
+
+
+def synthetic_source_table(spark, n_files: int):
+    """Scaled synthetic source-repo table, generated ENTIRELY JVM-side
+    (``spark.range`` + ``format_string`` — no driver-side row list, no
+    Python), so the generator itself is valid at any file count: the
+    bench harness uses it to measure code-KG extraction throughput on
+    the north-rule input shape. Each file is a deterministic function of
+    its id, cycles the three heaviest-grammar languages, and carries the
+    same comment/raw-string trap surface as ``synthetic_source_files``
+    so the measured work includes the strip passes."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_files).select(
+        F.concat(F.lit("repo"), (F.col("id") % 1024).cast("string")).alias("repo"),
+        F.col("id"),
+        (F.col("id") % 3).alias("lang_ix"),
+    )
+    py = F.format_string(
+        "import os\nimport util_%d\nfrom pkg_%d.sub import thing\n"
+        "# import commented_out\n  import indented_ignored\n"
+        '"""docstring\nimport docstring_trap\n"""\n'
+        "def fn_%d(x):\n    return x\nclass Cls_%d:\n    pass\n",
+        F.col("id") % 97, F.col("id") % 31, F.col("id"), F.col("id"),
+    )
+    java = F.format_string(
+        "package app.p%d;\nimport java.util.List;\nimport org.lib_%d.Util;\n"
+        "/*\nimport block.comment.Trap;\n*/\n// import line.comment.Trap;\n"
+        "public class Main_%d {}\ninterface Iface_%d {}\n",
+        F.col("id") % 31, F.col("id") % 97, F.col("id"), F.col("id"),
+    )
+    go = F.format_string(
+        'package main\nimport "fmt"\nimport (\n\t"os"\n\t"lib/dep_%d"\n)\n'
+        '/*\nimport "block/trap"\n*/\nvar doc = `\nimport "raw/trap"\n`\n'
+        "func main_%d() {}\ntype Cfg_%d struct {}\n",
+        F.col("id") % 97, F.col("id"), F.col("id"),
+    )
+    ix = F.col("lang_ix")
+
+    def _pick(a, b, c):
+        # CASE WHEN short-circuits per row in codegen — only the selected
+        # language's content expression evaluates
+        return F.when(ix == 0, a).when(ix == 1, b).otherwise(c)
+
+    return base.select(
+        "repo",
+        F.concat(
+            F.lit("src/f_"), F.col("id").cast("string"),
+            _pick(F.lit(".py"), F.lit(".java"), F.lit(".go")),
+        ).alias("path"),
+        F.format_string("c%08d", F.col("id")).alias("commit"),
+        _pick(F.lit("python"), F.lit("java"), F.lit("go")).alias("lang"),
+        _pick(py, java, go).alias("content"),
+    )

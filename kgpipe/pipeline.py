@@ -433,25 +433,52 @@ def build_graph(
         .drop("lineage")
     )
     if cache:
-        edges = edges.localCheckpoint(eager=True)
+        # LAZY persist (round 6; was an eager localCheckpoint): the
+        # deduped edge table materializes only when a consumer reads
+        # g.edges — the flagship triples path no longer touches it. The
+        # eager barrier shuffled and wrote the full deduped payload
+        # (~10M rows with properties+lineage at bench scale 9600) before
+        # triples could start: 51s of the 133s local[16] profile, all
+        # shuffle/IO-bound — the single largest NON-scaling term in the
+        # two-cluster-size protocol (tools/profile_kg.py).
+        edges = edges.persist()
 
     # ---- canonicalization (variant-of alias graph → CC) --------------------
-    # nodes NOT passed: the election's name lookup derives from the
-    # variant edges, keeping the node pipeline off the flagship path
-    rewritten = _rewrite_canonical(edges)
-    if rewritten is None:  # no alias graph: canonicalization is the identity
+    # The mapping derives from the VARIANT FAMILY alone, before the union
+    # and the id-level dedup: union-find is duplicate-insensitive (A~B
+    # twice is still one merge) and the election's name lookup distincts,
+    # so the result is identical to mapping over the deduped edge table
+    # (asserted by test_mapping_from_variant_family_equals_from_dedup) —
+    # but the collect job runs only the tiny variants lineage off the
+    # hz_valid barrier, never the 7-family union. nodes NOT passed: the
+    # election's name lookup derives from the variant edges themselves,
+    # keeping the node pipeline off the flagship path.
+    mapping = canonical_mapping(variant_edges)
+    if mapping is None:  # no alias graph: canonicalization is the identity
         edges_canonical = edges
-        triples = triples_view(edges)
+        # name-level distinct subsumes the id-level dedup → one fused
+        # job: family projections → union → distinct, no edge barrier
+        triples = triples_view(raw_edges)
     else:
         edges_canonical = T.dedup_edges(
-            rewritten.withColumn("lineage", F.col("src_name"))
+            apply_canonicalization(edges, mapping).withColumn(
+                "lineage", F.col("src_name")
+            )
         ).drop("lineage")
-        # the name-level distinct in triples_view subsumes the id-level
-        # re-dedup (it only removes duplicate (src, dst, rel) rows), so
-        # the flagship triples path skips that full-edge-set shuffle and
-        # reads the rewrite output directly — identical triple set,
-        # asserted by test_triples_from_rewrite_equals_from_canonical
-        triples = triples_view(rewritten)
+        # the name-level distinct in triples_view subsumes BOTH id-level
+        # dedups (they only remove duplicate (src, dst, rel) rows), so
+        # the flagship triples path rewrites the RAW family union through
+        # the broadcast mapping and goes straight to the distinct — one
+        # wide shuffle total, no materialization barrier between the
+        # parse checkpoints and the final aggregate. Identical triple
+        # set, asserted by test_triples_from_rewrite_equals_from_canonical
+        # (new path vs triples_view over the doubly-deduped edges_canonical)
+        # and the golden P/R gate.
+        triples = triples_view(
+            apply_canonicalization(
+                raw_edges.withColumn("run_id", F.lit(run_id)), mapping
+            )
+        )
 
     missing = idiom_missing.withColumn("entity_type", F.lit("Idiom")).unionByName(
         word_missing.withColumn("entity_type", F.lit("Word"))

@@ -1476,21 +1476,28 @@ def code_kg_triples(spark, sf):
 @_lazy_oracle("code_kg_triples")
 def _code_kg_triples_oracle() -> str:
     """Independent oracle: Python ``re`` (not the JVM) applies the same
-    per-language patterns to the same deterministic file table."""
+    per-language patterns (every ``EDGE_FAMILIES`` predicate, including
+    the nested go import-block form) to the same deterministic table."""
     import re as _re
 
     from kgpipe.ops import codeops
+
+    def _matches(p, text):
+        if isinstance(p, tuple):  # (NESTED, outer, inner)
+            _, outer, inner = p
+            return [
+                m for block in _re.findall(outer, text)
+                for m in _re.findall(inner, block)
+            ]
+        return _re.findall(p, text)
 
     out = set()
     for repo, path, commit, lang, content in codeops.synthetic_source_files():
         for sp in codeops._STRIP_PATTERNS.get(lang, ()):
             content = _re.sub(sp, "", content)
-        for pats, pred in (
-            (codeops._IMPORT_PATTERNS.get(lang, ()), "imports-module"),
-            (codeops._DEFINE_PATTERNS.get(lang, ()), "defines-symbol"),
-        ):
-            for p in pats:
-                for m in _re.findall(p, content):
+        for pred, patterns, _col in codeops.EDGE_FAMILIES:
+            for p in patterns.get(lang, ()):
+                for m in _matches(p, content):
                     out.add((f"{repo}/{path}", pred, m))
     rows = [(_sq(s), _sq(p), _sq(o)) for s, p, o in sorted(out)]
     return _values_table(rows, ["subj", "pred", "obj"])

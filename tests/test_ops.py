@@ -911,3 +911,110 @@ def test_code_import_and_define_edges(spark):
     from kgpipe import plans
 
     plans.assert_arrow_only_python(triples)
+
+
+def test_code_edges_extended_languages(spark):
+    """Round-6 language growth: js/ts (ES import + require, template-
+    literal trap), rust (use paths, extern crate, mod), c/cpp (#include),
+    go grouped import blocks, and the declares-package family — every
+    comment/raw-string trap stays unextracted."""
+    from kgpipe.ops import codeops
+    from kgpipe.schemas import CORPUS_SCHEMA
+
+    rows = [
+        ("r", "app.js", "c1", "javascript",
+         "import React from 'react'\nimport { x } from \"./util\"\n"
+         "import './side.css'\nconst _ = require('lodash')\n"
+         "// import nope from 'line-trap'\n/* import 'block-trap' */\n"
+         "const tpl = `\nimport 'tpl-trap'\n`\n"
+         "export default function App() {}\nclass Store {}\n"),
+        ("r", "types.ts", "c1", "typescript",
+         "import type { T } from './t'\nexport interface Props {}\n"
+         "export async function load() {}\n"),
+        ("r", "lib.rs", "c1", "rust",
+         "use std::collections::HashMap;\nuse std::{io, fmt};\n"
+         "extern crate serde;\nmod config;\n"
+         "// use line::trap;\n/*\nuse block::trap;\nfn trap_fn() {}\n*/\n"
+         "pub fn run() {}\npub(crate) fn scoped() {}\nstruct S;\ntrait T {}\n"),
+        ("r", "core.c", "c1", "c",
+         "#include <stdio.h>\n# include \"local.h\"\n"
+         "/*\n#include <block_trap.h>\n*/\n// #include <line_trap.h>\n"),
+        ("r", "eng.cpp", "c1", "cpp",
+         "#include <vector>\nclass Engine {};\nstruct Opts {};\n"),
+        ("r", "grouped.go", "c1", "go",
+         'package web\nimport (\n\t"os"\n\t"net/http"\n\t// "commented/member"\n)\n'
+         "func (h *H) Serve() {}\ntype Router struct {}\n"),
+        ("r", "Pkg.java", "c1", "java",
+         "package com.example.app;\nimport java.util.Map;\n"
+         "public final class Pkg {}\ninterface Shape {}\n"),
+    ]
+    files = spark.createDataFrame(rows, CORPUS_SCHEMA)
+
+    imports = {(r.path, r.module) for r in codeops.import_edges(files).collect()}
+    assert imports == {
+        ("app.js", "react"), ("app.js", "./util"), ("app.js", "./side.css"),
+        ("app.js", "lodash"),
+        ("types.ts", "./t"),
+        ("lib.rs", "std::collections::HashMap"), ("lib.rs", "std"),
+        ("lib.rs", "serde"),
+        ("core.c", "stdio.h"), ("core.c", "local.h"),
+        ("eng.cpp", "vector"),
+        ("grouped.go", "os"), ("grouped.go", "net/http"),
+        ("Pkg.java", "java.util.Map"),
+    }
+    defs = {(r.path, r.symbol) for r in codeops.defined_symbols(files).collect()}
+    assert defs == {
+        ("app.js", "App"), ("app.js", "Store"),
+        ("types.ts", "Props"), ("types.ts", "load"),
+        ("lib.rs", "run"), ("lib.rs", "scoped"), ("lib.rs", "S"), ("lib.rs", "T"),
+        ("eng.cpp", "Engine"), ("eng.cpp", "Opts"),
+        ("grouped.go", "Serve"), ("grouped.go", "Router"),
+        ("Pkg.java", "Pkg"), ("Pkg.java", "Shape"),
+    }
+    pkgs = {(r.path, r.package) for r in codeops.declared_packages(files).collect()}
+    assert pkgs == {
+        ("grouped.go", "web"),
+        ("Pkg.java", "com.example.app"),
+        ("lib.rs", "config"),
+    }
+    triples = codeops.code_triples(files)
+    assert triples.count() == len(imports) + len(defs) + len(pkgs)
+
+
+def test_code_scaled_generator_matches_python_re(spark):
+    """The JVM-generated bench table (spark.range + format_string, no
+    driver rows) yields exactly the triples an independent Python-re
+    pass over the collected content derives — Java↔Python regex parity
+    on the generator's full trap surface, including the nested go
+    import-block form."""
+    import re
+
+    from kgpipe.ops import codeops
+
+    files = codeops.synthetic_source_table(spark, 48)
+    got = {
+        (r.subj, r.pred, r.obj) for r in codeops.code_triples(files).collect()
+    }
+    want = set()
+    for r in files.collect():
+        content = r.content
+        for sp in codeops._STRIP_PATTERNS[r.lang]:
+            content = re.sub(sp, "", content)
+        for pred, patterns, _col in codeops.EDGE_FAMILIES:
+            for p in patterns.get(r.lang, ()):
+                if isinstance(p, tuple):
+                    ms = [
+                        m
+                        for b in re.findall(p[1], content)
+                        for m in re.findall(p[2], b)
+                    ]
+                else:
+                    ms = re.findall(p, content)
+                for m in ms:
+                    want.add((f"{r.repo}/{r.path}", pred, m))
+    assert got == want
+    assert len(got) > 48 * 4  # several edges per file, all three languages
+    # generation is pure JVM: no Python evaluation in the whole plan
+    from kgpipe import plans
+
+    plans.assert_arrow_only_python(codeops.code_triples(files))

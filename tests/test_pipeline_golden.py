@@ -68,6 +68,29 @@ def test_mapping_from_edge_names_equals_from_nodes(graph):
     assert from_edges == from_nodes and from_edges
 
 
+def test_mapping_from_variant_family_equals_from_dedup(graph):
+    """Round 6: the flagship path computes the mapping from the RAW
+    variant family (pre-union, pre-dedup) so the collect job never runs
+    the 7-family union. Union-find is duplicate-insensitive and the
+    name lookup distincts, so the mapping over raw variant rows must
+    equal the mapping over the deduped edge table's variant slice."""
+    from kgpipe.canon import canonical_mapping
+
+    deduped_variant = graph.edges.where(F.col("rel_type") == "variant-of")
+    # raw family: both orientations exist pre-dedup; synthesize the raw
+    # shape by unioning the deduped rows with themselves (duplicates)
+    raw_like = deduped_variant.unionByName(deduped_variant)
+    from_raw = {
+        (r.node_id, r.canonical_id, r.canonical_name)
+        for r in canonical_mapping(raw_like).collect()
+    }
+    from_dedup = {
+        (r.node_id, r.canonical_id, r.canonical_name)
+        for r in canonical_mapping(deduped_variant).collect()
+    }
+    assert from_raw == from_dedup and from_raw
+
+
 def test_missing_detail_pages_counted(graph, small_corpus):
     # the generator plants seeds with no page and h1-mismatch pages
     assert graph.missing.count() > 0
