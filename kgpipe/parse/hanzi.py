@@ -32,6 +32,7 @@ import re
 from typing import Optional
 
 from kgpipe.htmldom import Element, parse_html
+from kgpipe.parse.slicing import block_self_contained, raw_prefix_terminated
 
 CODEPOINT_RE = re.compile(r"zi-(\d+)")
 
@@ -579,8 +580,6 @@ _SLICE_SAFE = {"basic_info", "fanyi_info", "evolution_data"}
 
 _CARD_MARK = re.compile(r'(?=<div\b[^>]*?\bdata-id=")')
 _CARD_ID = re.compile(r'<div\b[^>]*?\bdata-id="([^"]+)"')
-_DIV_OPEN = re.compile(r"<div\b")
-_DIV_CLOSE = re.compile(r"</div\b")
 
 
 def _slice_cards(html: str, sections: tuple) -> Optional[str]:
@@ -592,15 +591,19 @@ def _slice_cards(html: str, sections: tuple) -> Optional[str]:
 
     Returns None (→ caller falls back to the full parse, output
     unchanged) unless the page is positively sliceable: every wanted
-    section is slice-safe, every wanted card's marker is found, AND
-    every marker block is div-balanced. A card block runs to the next
-    data-id marker, so slicing assumes sibling-card layout; the balance
-    check is what proves it per page — a card NESTING another card (or
-    any div scope crossing a marker boundary) leaves some block with
-    unmatched <div>/</div> counts, because dropping such a block would
-    also drop close tags belonging to an enclosing kept card (hypothesis
-    found exactly that counterexample; it is now a regression case in
-    test_fuzz_parsers). Guarded end-to-end by
+    section is slice-safe, every wanted card's marker is found, the
+    page prefix before the first marker ends in data mode (no
+    unterminated script/style/comment the marker could sit inside), AND
+    every marker block is a detachable forest under the tree builders'
+    actual close semantics (``block_self_contained``: every construct
+    span terminates inside the block, every close binds inside it or to
+    the always-dropped prefix, open elements drain by block end). A
+    card block runs to the next data-id marker, so slicing assumes
+    sibling-card layout; the per-block simulation is what proves it per
+    page — a card nesting another card, a div scope crossing a marker
+    boundary, or a non-div close reaching across blocks (the '<p>'
+    dropped / '</p>' kept divergence hypothesis found on the term
+    slicer) all fail it. Guarded end-to-end by
     test_pruned_slice_equals_full_parse and the never-diverges fuzz."""
     if not set(sections) <= _SLICE_SAFE:
         return None
@@ -610,15 +613,21 @@ def _slice_cards(html: str, sections: tuple) -> Optional[str]:
     parts = _CARD_MARK.split(html)
     if len(parts) <= 1:
         return None
+    if not raw_prefix_terminated(parts[0]):
+        return None  # first marker may sit inside raw text / a comment
     kept, found = [], set()
     for part in parts[1:]:
-        if len(_DIV_OPEN.findall(part)) != len(_DIV_CLOSE.findall(part)):
-            return None  # div scope crosses a marker boundary → full parse
         m = _CARD_ID.match(part)
+        keep = m is not None and m.group(1) in wanted
+        # kept blocks must also drain their element stack (a kept
+        # residue's subtree would differ between the two parses);
+        # dropped blocks may leave residues — see _tag_stream_safe
+        if not block_self_contained(part, require_drain=keep):
+            return None  # scope crosses a marker boundary → full parse
         if m is None:
             continue
         found.add(m.group(1))
-        if m.group(1) in wanted:
+        if keep:
             kept.append(part)
     if not wanted <= found:
         return None  # a wanted card is missing → conservative full parse

@@ -118,6 +118,13 @@ _CARD_BITS = st.sampled_from(
         "loose text",
         "</div>",
         '<div data-id="翻译">alt-form</div>',
+        # non-div scopes that can cross block boundaries — the close-
+        # binding divergence channel the round-6 gate simulation guards
+        "<p>",
+        "</p>",
+        '<span class="x">',
+        "</span>",
+        '<div class="card" data-id="基本信息"><h2></p>王</div>',
     ]
 )
 _CARD_SOUP = st.lists(_CARD_BITS, max_size=12).map("".join)
@@ -167,6 +174,71 @@ def test_slice_cards_nested_card_regression():
     out = parse_hanzi_html(html, "p", sections=("basic_info", "fanyi_info"))
     # full-parse semantics: the FIRST 基本信息 card wins and has no title
     assert out["basic_info"] == {"error": "zi-title not found"}
+
+
+def test_term_slice_prefix_close_binding_regression():
+    """Hypothesis counterexample, pinned (round 6): a '<p>' dropped with
+    the prefix whose '</p>' lands between kept opens — in the full parse
+    the close implicitly pops the kept <div>/<h1>, in the sliced parse
+    it is stray, so the h1 text diverged. The kept-region tag-stream
+    simulation must decline."""
+    from kgpipe.parse.slicing import prefix_slice
+
+    html = "<p><div class='ci-title'><h1></p>注音：ㄨㄤ"
+    assert prefix_slice(html) is None
+    for fn in (parse_chengyu_html, parse_ciyu_html):
+        assert fn(html, "p") == fn(html, "p", slice_input=False)
+
+
+def test_slice_cards_cross_block_close_regression():
+    """Same channel on the card slicer (round 6): the dropped page
+    prefix leaves '<p>' open and the KEPT 基本信息 card carries the
+    stray '</p>' — div counts balance, so the old div-only gate sliced
+    and the h2 text diverged ('' full vs '王' sliced). The per-block
+    simulation must decline."""
+    from kgpipe.parse.hanzi import _slice_cards
+
+    html = (
+        "<p>chrome"
+        '<div class="card" data-id="基本信息"><div class="zi-title">'
+        "<h2></p>王</h2></div></div>"
+        '<div class="card pb-3" data-id="翻译"><ol class="zi-fanyi">'
+        "<li>英语: king</li></ol></div>"
+    )
+    sections = ("basic_info", "fanyi_info")
+    assert _slice_cards(html, sections) is None
+    out = parse_hanzi_html(html, "p", sections=sections)
+    # full-parse semantics: '</p>' pops the h2 before 王 arrives
+    assert out["basic_info"].get("data", {}).get("character") != "王"
+
+
+def test_slice_cards_dropped_residue_still_slices():
+    """The drain requirement applies to KEPT blocks only: a DROPPED
+    card leaving an element open (residue) merely deepens where later
+    blocks attach — invisible to kept-node containment — so the page
+    must still slice, and the sliced parse must equal the full parse."""
+    from kgpipe.parse.hanzi import _slice_cards
+
+    html = (
+        '<div class="card" data-id="概述"><p>summary</div>'  # p residue, dropped
+        '<div class="card" data-id="基本信息"><div class="zi-title">'
+        "<h2>王</h2></div></div>"
+        '<div class="card pb-3" data-id="翻译"><ol class="zi-fanyi">'
+        "<li>英语: king</li></ol></div>"
+    )
+    sections = ("basic_info", "fanyi_info")
+    assert _slice_cards(html, sections) is not None
+    import kgpipe.parse.hanzi as H
+
+    via_operator = parse_hanzi_html(html, "p", sections=sections)
+    orig = H._slice_cards
+    H._slice_cards = lambda *a, **k: None
+    try:
+        full = parse_hanzi_html(html, "p", sections=sections)
+    finally:
+        H._slice_cards = orig
+    assert via_operator == full
+    assert via_operator["basic_info"]["data"]["character"] == "王"
 
 
 # ---------------------------------------------------------------------------
@@ -243,6 +315,12 @@ _CHROME = st.sampled_from(
         "<script>if (a<b) document.write('<div class=\"ci-attrs\">');</script>",
         "<H1>UPPER</H1><div>x</div>",
         "<!-- <div class='ci-content'> commented out -->",
+        # unclosed prefix elements whose close tags may land in the kept
+        # region — the close-binding channel the round-6 gate simulation
+        # declines (hypothesis-found: '<p>' + kept '</p>')
+        "<p>",
+        "<div><p>intro",
+        "<ul><li>菜单",
     ]
 )
 

@@ -83,6 +83,10 @@ def main() -> None:
     report = {
         "cores_low": n,
         "cores_high": 4 * n,
+        # per-leg host-load discipline (bench.py emits these): a leg whose
+        # load_1m_start exceeds ~1 ran contended and its ratio is suspect
+        "load_low": [lo.get("load_1m_start"), lo.get("load_1m_end")],
+        "load_high": [hi.get("load_1m_start"), hi.get("load_1m_end")],
         "sf": lo["sf"],
         "kg_triples": lo["kg_triples"],
         "kg_triples_per_sec_low": tput_lo,
@@ -109,6 +113,8 @@ def main() -> None:
         "|---|---|---|---|",
         f"| KG pipeline triples/sec ({lo['kg_triples']} triples) | {tput_lo} | {tput_hi} | **{kg_eff}** |",
         f"| headline suite total sec (sf={lo['sf']}) | {lo['value']} | {hi['value']} | {suite_eff} |",
+        f"| 1-min load at leg start/end | {lo.get('load_1m_start')} / {lo.get('load_1m_end')} "
+        f"| {hi.get('load_1m_start')} / {hi.get('load_1m_end')} | |",
         "",
         "Per-query seconds:",
         "",
