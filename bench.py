@@ -166,11 +166,22 @@ def main() -> None:
     # absorbs a full-GC pause that belongs to earlier phases — observed
     # as a bimodal 2s/15-33s artifact value for that one query
     sc._jvm.System.gc()
+    # best-of-2 per headline query, same steady-state discipline as the
+    # kg rounds: even after the explicit System.gc() a deferred full-GC
+    # pause can land inside ONE timed query (observed: dedup_minhash_lsh
+    # 42.9s vs its usual 2-5s in an otherwise-quiet run whose kg rounds
+    # were the fastest on record — the faster rounds left MORE
+    # unreclaimed debt, not less). A one-off pause cannot hit the same
+    # query in both passes.
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     result = {
