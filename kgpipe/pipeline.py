@@ -175,12 +175,24 @@ def build_graph(
         parse_hanzi_full_udf if full_hanzi_properties else parse_hanzi_pruned_udf
     )
     # ---- parse (one scan per family; zidian parsed once for all sections) --
-    chengyu_parsed = _family(corpus, "chengyu").withColumn(
-        "parsed", parse_chengyu_udf("content", "path")
-    )
-    cidian_parsed = _family(corpus, "cidian").withColumn(
-        "parsed", parse_ciyu_udf("content", "path")
-    )
+    # Generate barrier around each term-family parse: the linkage join's
+    # key derives from the UDF output, and Catalyst's ExtractPythonUDFs
+    # then plants ONE ArrowEvalPython below the join (key side) and a
+    # SECOND one above it (output projection) — every term page was
+    # parsed twice (4 ArrowEvalPython nodes in the terms plan; the whole
+    # Python-parse floor doubled, ~4.2s of the 9.6s barrier at bench
+    # scale 1600). explode(array(udf(...))) pins the evaluation below a
+    # Generate node, which projection collapse cannot cross, so the
+    # struct is computed once and rides through the join. Also drops
+    # `content` before the join instead of carrying it to a post-join
+    # re-parse.
+    def _parsed_once(family_df: DataFrame, udf) -> DataFrame:
+        return family_df.select(
+            "path", F.explode(F.array(udf("content", "path"))).alias("parsed")
+        )
+
+    chengyu_parsed = _parsed_once(_family(corpus, "chengyu"), parse_chengyu_udf)
+    cidian_parsed = _parsed_once(_family(corpus, "cidian"), parse_ciyu_udf)
     zidian_parsed = _family(corpus, "zidian").select(
         "path", parse_hanzi("content", "path").alias("parsed")
     )
