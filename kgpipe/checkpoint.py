@@ -125,6 +125,7 @@ def run_incremental(
     fail_buckets: set[int] | None = None,
     sweep_range: tuple[int, int] | None = None,
     full_hanzi_properties: bool = False,
+    full_term_properties: bool = False,
 ) -> Warehouse:
     """Process pending buckets one commit at a time; re-entrant.
 
@@ -194,6 +195,7 @@ def run_incremental(
             spark, c_slice, s_slice, run_id=run_id, hanzi_dim=hanzi_dim,
             composed_mode=composed_mode,
             full_hanzi_properties=full_hanzi_properties,
+            full_term_properties=full_term_properties,
         )
 
         rows_in = c_slice.count()

@@ -108,16 +108,41 @@ _HANZI_COLUMNS = [
 ]
 
 
-@F.pandas_udf(schemas.CHENGYU_PARSED)
-def parse_chengyu_udf(content: pd.Series, url: pd.Series) -> pd.DataFrame:
-    rows = [_adapt_term(parse_chengyu_html(c, u)) for c, u in zip(content, url)]
-    return pd.DataFrame(rows, columns=["url", "error", "data"])
+def make_parse_chengyu_udf(fields: tuple | None = None):
+    """Projection-pruned idiom parser UDF: only ``fields`` are extracted
+    (the rest come back NULL in the typed struct and are dropped by
+    to_json), and page regions only unrequested fields could observe are
+    sliced away before DOM construction (parse/slicing.py). The KG
+    pipeline passes chengyu.HOT_FIELDS; None = full extraction."""
+
+    @F.pandas_udf(schemas.CHENGYU_PARSED)
+    def udf(content: pd.Series, url: pd.Series) -> pd.DataFrame:
+        rows = [
+            _adapt_term(parse_chengyu_html(c, u, fields=fields))
+            for c, u in zip(content, url)
+        ]
+        return pd.DataFrame(rows, columns=["url", "error", "data"])
+
+    return udf
 
 
-@F.pandas_udf(schemas.CIYU_PARSED)
-def parse_ciyu_udf(content: pd.Series, url: pd.Series) -> pd.DataFrame:
-    rows = [_adapt_term(parse_ciyu_html(c, u)) for c, u in zip(content, url)]
-    return pd.DataFrame(rows, columns=["url", "error", "data"])
+def make_parse_ciyu_udf(fields: tuple | None = None):
+    """Word-family twin of ``make_parse_chengyu_udf``."""
+
+    @F.pandas_udf(schemas.CIYU_PARSED)
+    def udf(content: pd.Series, url: pd.Series) -> pd.DataFrame:
+        rows = [
+            _adapt_term(parse_ciyu_html(c, u, fields=fields))
+            for c, u in zip(content, url)
+        ]
+        return pd.DataFrame(rows, columns=["url", "error", "data"])
+
+    return udf
+
+
+#: full-extraction UDFs (S9/S10 fidelity surface and streaming)
+parse_chengyu_udf = make_parse_chengyu_udf(None)
+parse_ciyu_udf = make_parse_ciyu_udf(None)
 
 
 def make_parse_hanzi_udf(sections: tuple):

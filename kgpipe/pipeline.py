@@ -35,6 +35,8 @@ from kgpipe import triples as T
 from kgpipe.canon import apply_canonicalization, canonical_mapping
 from kgpipe.ids import node_id
 from kgpipe.parse.udfs import (
+    make_parse_chengyu_udf,
+    make_parse_ciyu_udf,
     make_parse_hanzi_udf,
     parse_chengyu_udf,
     parse_ciyu_udf,
@@ -46,6 +48,16 @@ from kgpipe.parse.udfs import (
 #: nor serialized unless full_hanzi_properties is requested
 PIPELINE_HANZI_SECTIONS = ("basic_info", "fanyi_info")
 parse_hanzi_pruned_udf = make_parse_hanzi_udf(PIPELINE_HANZI_SECTIONS)
+
+#: same pushdown for the term families (round 7): the triple derivation
+#: reads name + pinyin + mention lists (+ idiom translation) — the
+#: ci-content / 网络解释 regions are never extracted NOR DOM-parsed on
+#: the hot path (chengyu.HOT_FIELDS / ciyu.HOT_FIELDS + slice_term_page)
+from kgpipe.parse.chengyu import HOT_FIELDS as CHENGYU_HOT_FIELDS
+from kgpipe.parse.ciyu import HOT_FIELDS as CIYU_HOT_FIELDS
+
+parse_chengyu_pruned_udf = make_parse_chengyu_udf(CHENGYU_HOT_FIELDS)
+parse_ciyu_pruned_udf = make_parse_ciyu_udf(CIYU_HOT_FIELDS)
 
 #: S11 full fidelity: the reference persists ALL seven section blobs per
 #: character (hanyuguoxue.py:1411-1439 — basic_info…evolution_data); the
@@ -156,6 +168,7 @@ def build_graph(
     hanzi_dim: DataFrame | None = None,
     composed_mode: str = "broadcast",
     full_hanzi_properties: bool = False,
+    full_term_properties: bool = False,
 ) -> GraphResult:
     """``hanzi_dim`` (one ``name`` column) overrides the composed-of
     dimension — the checkpointed runner passes the *global* character
@@ -167,13 +180,24 @@ def build_graph(
     persists ALL seven zidian sections into the Hanzi node properties —
     matching the reference's per-character section blobs
     (hanyuguoxue.py:1411-1439); triple derivation is identical in both
-    modes (it reads only basic_info + fanyi_info)."""
+    modes (it reads only basic_info + fanyi_info).
+
+    ``full_term_properties`` is the term-family twin (S9/S10 fidelity):
+    the reference upserts the COMPLETE idiom/word record (explanation,
+    source, usage, example, zhuyin, emotion / definition, part_of_speech,
+    is_common — chengyu_mysql.py:162-221); the default hot path extracts
+    only the triple-bearing fields, so term node ``properties`` JSON
+    carries just those. Triples are identical in both modes."""
     hanzi_sections = (
         ALL_HANZI_SECTIONS if full_hanzi_properties else PIPELINE_HANZI_SECTIONS
     )
     parse_hanzi = (
         parse_hanzi_full_udf if full_hanzi_properties else parse_hanzi_pruned_udf
     )
+    parse_chengyu = (
+        parse_chengyu_udf if full_term_properties else parse_chengyu_pruned_udf
+    )
+    parse_ciyu = parse_ciyu_udf if full_term_properties else parse_ciyu_pruned_udf
     # ---- parse (one scan per family; zidian parsed once for all sections) --
     # Generate barrier around each term-family parse: the linkage join's
     # key derives from the UDF output, and Catalyst's ExtractPythonUDFs
@@ -191,8 +215,8 @@ def build_graph(
             "path", F.explode(F.array(udf("content", "path"))).alias("parsed")
         )
 
-    chengyu_parsed = _parsed_once(_family(corpus, "chengyu"), parse_chengyu_udf)
-    cidian_parsed = _parsed_once(_family(corpus, "cidian"), parse_ciyu_udf)
+    chengyu_parsed = _parsed_once(_family(corpus, "chengyu"), parse_chengyu)
+    cidian_parsed = _parsed_once(_family(corpus, "cidian"), parse_ciyu)
     zidian_parsed = _family(corpus, "zidian").select(
         "path", parse_hanzi("content", "path").alias("parsed")
     )

@@ -1323,7 +1323,9 @@ def _kg_graph(spark):
     from kgpipe.pipeline import build_graph
 
     cdf, sdf = _kg_corpus(spark)
-    g = build_graph(spark, cdf, sdf, full_hanzi_properties=True)
+    g = build_graph(
+        spark, cdf, sdf, full_hanzi_properties=True, full_term_properties=True
+    )
     g.triples = g.triples.localCheckpoint(eager=False)
     g.nodes = g.nodes.localCheckpoint(eager=False)
     g.edges = g.edges.localCheckpoint(eager=False)

@@ -128,6 +128,7 @@ def main() -> None:
         n_buckets=args.buckets,
         sweep_range=sweep_range,
         full_hanzi_properties=args.full_sections,
+        full_term_properties=args.full_sections,
     )
     if args.retry_errors:
         finish_retry(spark, wh, run_id, corpus_df)

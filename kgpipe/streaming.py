@@ -154,6 +154,7 @@ def run_graph_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int = 8,
     full_hanzi_properties: bool = False,
+    full_term_properties: bool = False,
 ) -> None:
     """Full-graph streaming ingest: every edge family, not just mentions.
 
@@ -242,6 +243,7 @@ def run_graph_stream(
         g = build_graph(
             spark, batch_df, seeds, run_id=f"stream-{batch_id}", hanzi_dim=dim,
             full_hanzi_properties=full_hanzi_properties,
+            full_term_properties=full_term_properties,
         )
         wh.nodes.merge_best(
             g.nodes,

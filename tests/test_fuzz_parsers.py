@@ -368,3 +368,157 @@ def test_term_slice_on_synthetic_and_chromed_pages():
         if prefix_slice(wrapped) is not None:
             n_sliced += 1
     assert n_sliced == 40  # the chrome-wrapped pages all took the slice path
+
+
+# ---------------------------------------------------------------------------
+# round-7 interior term slicing: region-split + pruned-field slicing must
+# NEVER diverge from the full parse, at any field subset, with the
+# economics threshold forced off so the slice path actually runs
+# ---------------------------------------------------------------------------
+
+_TERM_BITS = st.sampled_from(
+    [
+        '<div class="ci-title"><h1>一心一意</h1><div class="pinyin"><span>yī</span></div></div>',
+        '<div class="ci-title-wrap"><h1>学习</h1><div class="pinyin"><span>xué</span></div>'
+        '<div class="ci-tag">常用词</div></div>',
+        '<div class="ci-attrs"><p>注音：ㄧ</p><p>感情：<a href="/e">褒义</a></p>'
+        '<p>近义词：<a href="/a">全心全意</a></p></div>',
+        '<div class="ci-attrs"><p><label>拼音</label><span>xué xí</span></p>'
+        '<p><label>近义词</label><span class="ci-list"><a href="/s">研习</a></span></p></div>',
+        '<div class="ci-content"><p class="explain primary">形容专心。'
+        '<button class="btn-copy">复制</button></p><p class="ext">出处：《书》。</p></div>',
+        '<ol class="ci-fanyi"><li><label>英语</label>wholeheartedly</li></ol>',
+        '<div><h3>网络解释</h3></div><div>一心一意 是成语。</div>',
+        '<div class="chrome-banner"><ul><li>广告</li></ul></div>',
+        "<script>var x = '<div class=\"ci-title\">';</script>",
+        '<div class="ci-content">',  # truncated block
+        "</div>",
+        "</body>",  # stray close: the sibling-split channel
+        "<p>",
+        "</p>",
+        "<!-- ci-attrs in a comment -->",
+        "loose 文本",
+        '<div class="wrap"><div class="ci-attrs"><p>注音：ㄨ</p></div>',  # undrained
+    ]
+)
+_TERM_SOUP = st.lists(_TERM_BITS, max_size=10).map("".join)
+
+_FIELD_SETS = st.sampled_from(
+    [
+        None,  # full extraction
+        ("chengyu", "pinyin", "synonyms", "antonyms", "translation"),
+        ("word", "pinyin", "synonyms", "antonyms"),
+        ("chengyu",),
+        ("definition",),
+        ("translation", "zhuyin"),
+        ("is_common", "part_of_speech"),
+    ]
+)
+
+
+def _forced_slice(monkey_module, html, fn, fields):
+    """Run fn with the economics threshold forced off so short synthetic
+    soups still take the slice path, and compare against the full parse."""
+    from kgpipe.parse import slicing as S
+
+    orig = monkey_module.slice_term_page
+
+    def zero_threshold(page, surface, wanted, keep_tail=frozenset(), **_):
+        return S.slice_term_page(page, surface, wanted, keep_tail, min_drop_frac=0.0)
+
+    monkey_module.slice_term_page = zero_threshold
+    try:
+        sliced_out = fn(html, "p", fields=fields)
+    finally:
+        monkey_module.slice_term_page = orig
+    full_out = fn(html, "p", slice_input=False, fields=fields)
+    assert sliced_out == full_out
+
+
+@settings(max_examples=300, deadline=None)
+@given(_CHROME, _TERM_SOUP, _FIELD_SETS)
+def test_term_interior_slice_never_diverges(chrome, soup, fields):
+    import kgpipe.parse.chengyu as C
+    import kgpipe.parse.ciyu as Y
+
+    html = chrome + soup
+    cf = None if fields is None else tuple(f for f in fields if f in C.ALL_FIELDS)
+    yf = None if fields is None else tuple(f for f in fields if f in Y.ALL_FIELDS)
+    if cf is None or cf:
+        _forced_slice(C, html, C.parse_chengyu_html, cf)
+    if yf is None or yf:
+        _forced_slice(Y, html, Y.parse_ciyu_html, yf)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="<>/&=\"' cih13-title网络解释divbodyattrs!-", max_size=160))
+def test_term_interior_slice_never_diverges_garbage(text):
+    import kgpipe.parse.chengyu as C
+    import kgpipe.parse.ciyu as Y
+
+    _forced_slice(C, text, C.parse_chengyu_html, None)
+    _forced_slice(Y, text, Y.parse_ciyu_html, None)
+    _forced_slice(C, text, C.parse_chengyu_html, C.HOT_FIELDS)
+    _forced_slice(Y, text, Y.parse_ciyu_html, Y.HOT_FIELDS)
+
+
+def test_term_slice_sibling_split_regression():
+    """Round-7 pinned divergence channel: a mid-page '</body>' stray
+    close puts the 网络解释 heading's parent (child of <body>) and the
+    definition <div> (child of <html>) in DIFFERENT sibling groups in
+    the full parse, while a sliced parse that dropped the '<body>' open
+    with the prefix sees them adjacent under one root — the empty-stack
+    stray exemption alone would slice and invent a definition. The
+    sibling rule (element start after a stray in a kept region) must
+    decline."""
+    from kgpipe.parse.slicing import CIYU_KEEP_TAIL, CIYU_SURFACE, slice_term_page
+
+    html = (
+        "<html><body><header>chrome</header>"
+        '<div class="ci-title-wrap"><h1>学习</h1></div>'
+        "<div><h3>网络解释</h3></div></body><div>学习 是词语。</div></html>"
+    )
+    assert (
+        slice_term_page(
+            html,
+            CIYU_SURFACE,
+            wanted=frozenset(CIYU_SURFACE),
+            keep_tail=CIYU_KEEP_TAIL,
+            min_drop_frac=0.0,
+        )
+        is None
+    )
+    out_full = parse_ciyu_html(html, "p", slice_input=False)
+    assert parse_ciyu_html(html, "p") == out_full
+
+
+def test_term_slice_prunes_interior_blocks():
+    """Positive path: with HOT_FIELDS and a chrome-heavy page, the
+    chengyu slicer drops the prefix AND the ci-content region while the
+    extraction stays byte-identical to the full parse at those fields."""
+    from kgpipe.parse.slicing import CHENGYU_SURFACE, slice_term_page
+
+    chrome = "<html><head><title>x</title></head><body>" + (
+        '<nav><ul>' + "".join(f'<li><a href="/{i}">菜单{i}</a></li>' for i in range(20)) + "</ul></nav>"
+    )
+    page = (
+        '<div class="ci-title"><h1>一心一意</h1><div class="pinyin"><span>yī</span></div></div>'
+        '<div class="ci-attrs"><p>近义词：<a href="/a">全心全意</a></p></div>'
+        '<div class="ci-content"><p class="explain primary">形容专心。</p>'
+        '<p class="ext">出处：《书》。</p><p class="ext">用法：作谓语。</p></div>'
+        '<ol class="ci-fanyi"><li><label>英语</label>wholeheartedly</li></ol>'
+        "</body></html>"
+    )
+    html = chrome + page
+    from kgpipe.parse.chengyu import HOT_FIELDS, _wanted_hazards
+
+    sliced = slice_term_page(
+        html, CHENGYU_SURFACE, _wanted_hazards(frozenset(HOT_FIELDS))
+    )
+    assert sliced is not None
+    assert "ci-content" not in sliced and "<nav>" not in sliced
+    assert "ci-fanyi" in sliced and "ci-attrs" in sliced
+    got = parse_chengyu_html(html, "p", fields=HOT_FIELDS)
+    assert got == parse_chengyu_html(html, "p", slice_input=False, fields=HOT_FIELDS)
+    assert got["data"]["chengyu"] == "一心一意"
+    assert got["data"]["translation"] == "英语: wholeheartedly"
