@@ -173,17 +173,19 @@ def main() -> None:
     # were the fastest on record — the faster rounds left MORE
     # unreclaimed debt, not less). A one-off pause cannot hit the same
     # query in both passes.
+    raw_timings: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = None
+        runs = []
         for _ in range(2):
             t0 = time.time()
             _force(fn(spark, sf_dir))
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+        raw_timings[name] = runs
+        timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
+    load_end = round(os.getloadavg()[0], 2)
     result = {
         "metric": "headline_suite_sec",
         "value": total,
@@ -194,10 +196,65 @@ def main() -> None:
         "kg_triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec > 0 else None,
         "cores": cpus,
         "load_1m_start": load_start,
-        "load_1m_end": round(os.getloadavg()[0], 2),
+        "load_1m_end": load_end,
+        # a busy host silently corrupts local[N] numbers by +-55%
+        # (BENCH.md round-5 reconciliation; the r06 driver artifact ran
+        # at load 25.7/32) — flag it loudly so no reader has to do
+        # BENCH.md archaeology to discount a number
+        "contended": load_start > cpus / 8 or load_end > cpus / 2,
+        # protocol provenance (round-6 ADVICE): every timed number above
+        # is min-of-N with the raw passes recorded, so cross-round
+        # comparisons can tell which protocol produced each figure
+        "runs_per_query": 2,
+        "kg_rounds": kg_rounds,
+        "raw_timings": raw_timings,
+        "term_slice_chromed": _bench_term_slice_chromed(),
     }
     spark.stop()
     print(json.dumps(result))
+
+
+def _bench_term_slice_chromed() -> dict:
+    """Driver-side (no Spark) A/B of the term-page slicer on the
+    chrome=True corpus mode — the real-page shape where pre-DOM slicing
+    pays (VERDICT r6 task 5). The bench corpus itself stays bare so the
+    flagship numbers remain comparable across rounds; this row
+    quantifies the slicer's win where it is designed to win. Pure
+    Python and deterministic, so host contention barely touches it."""
+    from kgpipe.corpus import generate_corpus
+    from kgpipe.parse.chengyu import HOT_FIELDS as CY_HOT
+    from kgpipe.parse.chengyu import parse_chengyu_html
+    from kgpipe.parse.ciyu import HOT_FIELDS as CI_HOT
+    from kgpipe.parse.ciyu import parse_ciyu_html
+
+    chromed = generate_corpus(n_hanzi=10, n_words=40, n_idioms=30, seed=42, chrome=True)
+    fams = {
+        "chengyu": (parse_chengyu_html, CY_HOT),
+        "cidian": (parse_ciyu_html, CI_HOT),
+    }
+    out = {}
+    for fam, (fn, hot) in fams.items():
+        pages = [
+            (r["path"], r["content"])
+            for r in chromed.rows
+            if r["path"].startswith(fam + "/")
+        ]
+        us = {}
+        for key, kw in (("slice_on", {}), ("slice_off", {"slice_input": False})):
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for p, html in pages:
+                    fn(html, p, fields=hot, **kw)
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            us[key] = round(best / len(pages) * 1e6, 1)
+        out[fam] = {
+            **us,
+            "speedup": round(us["slice_off"] / us["slice_on"], 2),
+            "avg_page_bytes": sum(len(h) for _, h in pages) // len(pages),
+        }
+    return out
 
 
 if __name__ == "__main__":

@@ -421,6 +421,71 @@ def render_hanzi_page(h: HanziSpec) -> str:
 
 
 # ---------------------------------------------------------------------------
+# realistic page chrome (round 7): the reference crawls a LIVE site whose
+# pages carry head/nav/breadcrumb/ad chrome before the content blocks and
+# a footer after them — the shape the pre-DOM slicers (parse/slicing.py,
+# parse/hanzi.py:_slice_cards) exist for. chrome=True wraps every page in
+# deterministic chrome (seeded per path) WITHOUT touching the content
+# blocks, so every golden/oracle gate must stay green with it on.
+# ---------------------------------------------------------------------------
+
+_CHROME_NAV = "".join(
+    f'<li class="nav-item"><a class="nav-link" href="/nav/{i}" title="栏目{i}">栏目{i}</a>'
+    '<ul class="dropdown">'
+    + "".join(f'<li><a href="/nav/{i}/{j}">子栏{i}-{j}</a></li>' for j in range(4))
+    + "</ul></li>"
+    for i in range(12)
+)
+_CHROME_SIDEBAR = "".join(
+    f'<li><a href="/hot/{i}" rel="nofollow">热门词条 {i} · 今日推荐</a></li>' for i in range(16)
+)
+_CHROME_FOOT = "".join(
+    '<div class="col"><h5>页脚栏目%d</h5><ul>' % c
+    + "".join(f'<li><a href="/foot/{c}/{i}">链接{c}-{i}</a></li>' for i in range(6))
+    + "</ul></div>"
+    for c in range(4)
+)
+
+
+def _chromify(path: str, page: str) -> str:
+    """Wrap a bare '<html><body>…</body></html>' page in realistic site
+    chrome: head (title/meta/style/two scripts — one holding
+    markup-lookalike strings and a bare '<', the raw-text shapes the
+    prefix gate must clear), a two-tier dropdown nav, breadcrumb, ad and
+    sidebar blocks before the content; a multi-column footer after. On
+    real dictionary sites this template weighs 3-10x the content blocks
+    (the shape parse/slicing.py exists for); here it is ~4 KB against
+    ~0.5 KB of content. Pure function of the path, so the sha256
+    manifest stays exact."""
+    h = int(hashlib.md5(path.encode("utf-8")).hexdigest()[:8], 16)
+    title = path.rsplit("/", 1)[-1]
+    assert page.startswith("<html><body>") and page.endswith("</body></html>")
+    body = page[len("<html><body>") : -len("</body></html>")]
+    return (
+        f'<html><head><meta charset="utf-8"><title>{title} - 汉语国学</title>'
+        f'<meta name="keywords" content="{title},词典,汉语"><meta name="description" content="{title}的解释">'
+        f'<link rel="canonical" href="https://example.org/{path}">'
+        '<style>.topbar{color:#333;display:flex}.dropdown{display:none}.ad{margin:4px}'
+        '.crumb{font-size:12px}.sidebar{float:right}.col{width:25%}</style>'
+        f"<script>var slot_{h % 997} = '<div class=\"ad\">'; if (2<{h % 7 + 3}) track({h});</script>"
+        '<script type="application/ld+json">{"@context":"https://schema.org",'
+        f'"@type":"DefinedTerm","name":"{title}","inLanguage":"zh","position":{h % 1000},'
+        '"publisher":{"name":"汉语国学","logo":"/img/logo.png"}}</script>'
+        '</head><body><header><nav class="topbar"><ul>'
+        f"{_CHROME_NAV}</ul></nav>"
+        f'<form action="/search" class="searchbox"><input name="q" placeholder="查词"><button>搜索</button></form></header>'
+        f'<div class="crumb"><a href="/">首页</a> &gt; <a href="/{path.split("/", 1)[0]}">词典</a> &gt; <a href="/{path}">{title}</a></div>'
+        f'<aside class="ad">推广内容 {h % 10000}<img src="/img/ad-{h % 97}.png"></aside>'
+        f'<aside class="sidebar"><h4>大家都在查</h4><ul>{_CHROME_SIDEBAR}</ul></aside>'
+        f"{body}"
+        f'<footer><div class="row">{_CHROME_FOOT}</div>'
+        f"<p>© 汉语国学 {2020 + h % 6} · 浙ICP备{h % 100000}号</p></footer>"
+        f"<script>window.pv && window.pv.send('{path}', {h % 8191});</script>"
+        "</body></html>"
+    )
+
+
+# ---------------------------------------------------------------------------
 # top-level generation
 # ---------------------------------------------------------------------------
 
@@ -430,6 +495,7 @@ def generate_corpus(
     n_idioms: int = 40,
     seed: int = 42,
     scale: int = 1,
+    chrome: bool = False,
 ) -> Corpus:
     rng = random.Random(seed)
     hanzi = _build_hanzi(rng, n_hanzi)
@@ -439,6 +505,8 @@ def generate_corpus(
     seeds: list[dict] = []
 
     def add(path: str, content: str) -> None:
+        if chrome:
+            content = _chromify(path, content)
         rows.append(
             {"repo": REPO, "path": path, "commit": COMMIT, "lang": "html", "content": content}
         )

@@ -43,32 +43,29 @@ def main() -> None:
         print(f"  {label}: {dt}s", flush=True)
         return time.time()
 
-    t0 = time.time()
-    g = build_graph(spark, cdf, sdf, cache=True)
-    # build_graph with cache=True already materialized: terms+hz barriers,
-    # edges checkpoint, canonical mapping (collect+union-find+elect).
-    # Instrument by re-running its pieces explicitly:
-    t0 = time.time()
+    # instrument the fused flagship path by re-running its pieces
+    # explicitly, mirroring pipeline.build_graph exactly (round 7: pruned
+    # term UDFs + the single-evaluation Generate barrier)
     g2_start = time.time()
+
+    from pyspark.sql import functions as F  # noqa: F811
 
     from kgpipe.pipeline import (
         PIPELINE_HANZI_SECTIONS,
+        parse_chengyu_pruned_udf,
+        parse_ciyu_pruned_udf,
         parse_hanzi_pruned_udf,
         _family,
         _term_frame,
     )
 
-    chengyu_parsed = _family(cdf, "chengyu").withColumn(
-        "parsed", __import__("kgpipe.parse.udfs", fromlist=["parse_chengyu_udf"]).parse_chengyu_udf("content", "path")
-    )
-    from kgpipe.parse.udfs import parse_chengyu_udf, parse_ciyu_udf
+    def parsed_once(fam_df, udf):
+        return fam_df.select(
+            "path", F.explode(F.array(udf("content", "path"))).alias("parsed")
+        )
 
-    chengyu_parsed = _family(cdf, "chengyu").withColumn(
-        "parsed", parse_chengyu_udf("content", "path")
-    )
-    cidian_parsed = _family(cdf, "cidian").withColumn(
-        "parsed", parse_ciyu_udf("content", "path")
-    )
+    chengyu_parsed = parsed_once(_family(cdf, "chengyu"), parse_chengyu_pruned_udf)
+    cidian_parsed = parsed_once(_family(cdf, "cidian"), parse_ciyu_pruned_udf)
     zidian_parsed = _family(cdf, "zidian").select(
         "path", parse_hanzi_pruned_udf("content", "path").alias("parsed")
     ).persist()
