@@ -178,6 +178,15 @@ def main() -> None:
         fn = QUERIES[name]
         runs = []
         for _ in range(2):
+            # pay outstanding GC debt OUTSIDE every timed window, not
+            # just once before the loop: round 6 showed a single up-front
+            # System.gc() is insufficient — a deferred full-GC pause from
+            # the kg rounds landed inside ONE timed query (42.9s on
+            # dedup_minhash_lsh, the allocation-heaviest headline). With
+            # per-leg collection plus the round-7 minhash allocation cut
+            # (1 md5/shingle + bigint mixing instead of 8 md5 + 8
+            # concats), the pressure A/B spread is <2x across 5 runs.
+            sc._jvm.System.gc()
             t0 = time.time()
             _force(fn(spark, sf_dir))
             runs.append(round(time.time() - t0, 3))

@@ -109,12 +109,54 @@ def shingles(docs: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
     ).distinct()
 
 
+#: universal-hash family over a single md5 base (round 7, VERDICT task 2):
+#: base(s) = first 8 hex digits of md5(s) as a bigint (one digest + one
+#: substring per shingle), h_j(s) = ((base % P) * A_j + B_j) % P — the
+#: per-seed mixing is pure 64-bit arithmetic, replacing round-6's
+#: md5(concat(seed, shingle)) per seed per shingle (8 digests + 8
+#: concats/shingle, the allocation storm behind the 42.9s deferred-GC
+#: pause BENCH.md pinned on this query). P = 2^31-1 keeps every product
+#: under 2^62, in range for BOTH engines (DuckDB raises on BIGINT
+#: overflow; Spark would silently wrap). Constants: arbitrary fixed odd
+#: multipliers / offsets below P, mirrored verbatim in the oracle SQL.
+MINHASH_P = 2_147_483_647
+MINHASH_A = (
+    1_926_246_167,
+    1_609_587_929,
+    1_500_450_271,
+    1_203_918_281,
+    941_083_981,
+    899_809_343,
+    824_633_789,
+    741_103_597,
+)
+MINHASH_B = (
+    784_923_401,
+    581_869_302,
+    417_304_705,
+    324_610_043,
+    257_985_371,
+    196_314_165,
+    112_429_301,
+    84_029_117,
+)
+
+#: SQL for base(s) over a shingle expression — Spark dialect
+_MINHASH_BASE = "CAST(conv(substring(md5({s}), 1, 8), 16, 10) AS BIGINT) % {p}"
+
+
+def _minhash_mix(j: int, base_sql: str) -> str:
+    return f"(({base_sql}) * {MINHASH_A[j]}L + {MINHASH_B[j]}L) % {MINHASH_P}L"
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
-    """MinHash via seeded md5: hash_j(s) = md5(j || s); signature_j =
-    min over shingles. Lexicographic min over hex digests is a valid
-    uniform min-hash. One aggregation, num_hashes columns."""
+    """MinHash signatures from an exploded (doc_id, shingle) table:
+    signature_j = min over shingles of h_j(shingle) (bigint family
+    above). One aggregation, num_hashes columns; codegen's common-
+    subexpression elimination computes the md5 base once per row."""
+    base = _MINHASH_BASE.format(s="shingle", p=MINHASH_P)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(j) + "|"), F.col("shingle")))).alias(f"mh{j}")
+        F.min(F.expr(_minhash_mix(j, base))).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -138,9 +180,12 @@ def minhash_banded(
     |text|-expanded shingle set) for signature computation; the first and
     only shuffle of the LSH pipeline is now the band-bucket self-join.
 
-    Hash identity with the aggregation path: hash_j(s) = md5('j|' || s),
-    band hash = md5(mh_{2b} || '|' || mh_{2b+1}) — so candidate output is
-    byte-identical and the DuckDB oracle is unchanged.
+    Hash identity with the aggregation path: the bigint family above
+    (one md5 base per shingle, arithmetic per seed), band hash =
+    md5(concat_ws('|', decimal renderings of the band's signature
+    members)) — candidate output is byte-identical to
+    minhash_signatures → lsh_candidate_pairs and the DuckDB oracle
+    computes the same family with its own hex-literal cast.
     """
     docs = ensure_parallelism(docs)
     rows_per_band = num_hashes // bands
@@ -148,25 +193,29 @@ def minhash_banded(
         f"transform(sequence(1, greatest(char_length({text_col}) - {k - 1}, 1)),"
         f" i -> substring({text_col}, i, {k}))"
     )
-    # running minimum per seed: least() skips NULLs, so the NULL-seeded
-    # accumulator adopts the first hash and min() thereafter
-    merge = (
-        "(acc, s) -> zip_with(acc, "
-        f"transform(sequence(0, {num_hashes - 1}), j -> md5(concat(cast(j AS STRING), '|', s))), "
-        "(a, h) -> least(a, h))"
+    # one md5 base per shingle, computed BEFORE the aggregate so the
+    # merge lambda is pure 64-bit multiply-add-mod (unrolled per seed:
+    # no sequence/element_at churn); least() skips NULLs, so the
+    # NULL-seeded accumulator adopts the first hash and min() thereafter
+    base_expr = (
+        f"transform({shingle_expr}, "
+        f"s -> {_MINHASH_BASE.format(s='s', p=MINHASH_P)})"
     )
+    mixes = ", ".join(_minhash_mix(j, "h") for j in range(num_hashes))
+    merge = f"(acc, h) -> zip_with(acc, array({mixes}), (a, x) -> least(a, x))"
     band_structs = ", ".join(
         "named_struct('band', {b}, 'bh', md5(concat_ws('|', {members})))".format(
             b=b,
             members=", ".join(
-                f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
+                f"CAST(sig[{b * rows_per_band + r}] AS STRING)"
+                for r in range(rows_per_band)
             ),
         )
         for b in range(bands)
     )
     banded = F.expr(
-        f"aggregate({shingle_expr}, "
-        f"array_repeat(CAST(NULL AS STRING), {num_hashes}), "
+        f"aggregate({base_expr}, "
+        f"array_repeat(CAST(NULL AS BIGINT), {num_hashes}), "
         f"{merge}, "
         f"sig -> array({band_structs}))"
     )
@@ -185,7 +234,10 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4, rows_per_band: in
     """
     band_cols = []
     for b in range(bands):
-        members = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        members = [
+            F.col(f"mh{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *members)).alias("bh"))
         )

@@ -477,24 +477,38 @@ def dedup_exact(spark, sf):
     return textops.dedup_exact(_t(spark, sf, "documents"))
 
 
+# round-7 hash family (textops.MINHASH_A/B/P): one md5 base per shingle
+# (hex-prefix → bigint; DuckDB casts '0x…' literals, Spark uses conv),
+# per-seed mixing by multiply-add-mod — mirrored verbatim from textops
+from kgpipe.ops.textops import MINHASH_A, MINHASH_B, MINHASH_P
+
 _MINHASH_ORACLE = """
 WITH sh AS (
   SELECT DISTINCT doc_id,
     unnest([substr(text, i, 5) FOR i IN range(1, greatest(len(text) - 4, 1) + 1)]) AS shingle
   FROM documents
+), based AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) % {p} AS h
+  FROM sh
 ), sig AS (
   SELECT doc_id,
     {mins}
-  FROM sh GROUP BY doc_id
+  FROM based GROUP BY doc_id
 ), banded AS (
   {bands}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 """.format(
-    mins=", ".join(f"min(md5('{j}|' || shingle)) AS mh{j}" for j in range(8)),
+    p=MINHASH_P,
+    mins=", ".join(
+        f"min((h * {MINHASH_A[j]} + {MINHASH_B[j]}) % {MINHASH_P}) AS mh{j}"
+        for j in range(8)
+    ),
     bands=" UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS bh FROM sig"
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(CAST(mh{2 * b} AS VARCHAR) || '|' || CAST(mh{2 * b + 1} AS VARCHAR)) AS bh FROM sig"
         for b in range(4)
     ),
 )
