@@ -12,7 +12,11 @@ languages (python, java, go, javascript, typescript, rust, c, cpp):
     ``use``/``require``/``#include`` per language; go grouped
     ``import ( ... )`` blocks via a nested block→member pattern)
   * defines-symbol:    file --defines-->  symbol  (top-level ``def``/
-    ``class``/``func``/``fn``/``struct``/``interface`` declarations)
+    ``class``/``func``/``fn``/``struct``/``interface`` declarations;
+    round 7 adds C/C++ function signatures incl. out-of-class
+    ``::methods``, java method definitions, js/ts arrow-function consts
+    and TS type aliases — every language emits all families where the
+    construct exists)
   * declares-package:  file --declares--> package (go/java ``package``,
     rust ``mod``)
 
@@ -48,7 +52,34 @@ _JS_DEFINES = [
     r"(?m)^(?:export )?(?:default )?(?:async )?function ([A-Za-z_$][A-Za-z0-9_$]*)",
     r"(?m)^(?:export )?(?:default )?(?:abstract )?class ([A-Za-z_$][A-Za-z0-9_$]*)",
     r"(?m)^(?:export )?interface ([A-Za-z_$][A-Za-z0-9_$]*)",
+    # round 7: arrow-function consts — `export const f = () =>`,
+    # `const g = async x =>`, with an optional TS type annotation before
+    # the `=`; a plain `const n = 42` has no `=>` and never matches
+    r"(?m)^(?:export )?(?:const|let|var) ([A-Za-z_$][A-Za-z0-9_$]*)"
+    r"\s*(?::[^=\n]+)?=\s*(?:async )?(?:\([^)\n]*\)|[A-Za-z_$][A-Za-z0-9_$]*)\s*=>",
+    # TS type aliases (syntax error on real JS input, so harmless shared)
+    r"(?m)^(?:export )?type ([A-Za-z_$][A-Za-z0-9_$]*)\s*=",
 ]
+
+#: C/C++ top-level function shape: optional storage/type qualifiers, a
+#: return-type token (pointer stars allowed), then the captured name at
+#: an open paren. `(?!typedef\b)` keeps function-POINTER typedefs out
+#: (`typedef int (*cb)(void);` — the round-6 VERDICT trap). Granularity
+#: is declaration-level: a prototype `int f(int);` names the symbol the
+#: same way the definition does, and both extract (documented; a
+#: regex-level extractor cannot see bodies across lines).
+_C_FUNC = (
+    r"(?m)^(?!typedef\b)(?:static |inline |extern |unsigned |signed |const )*"
+    r"[A-Za-z_][A-Za-z0-9_]*[ \t*]+\*?([A-Za-z_][A-Za-z0-9_]*)\s*\("
+)
+#: C++ adds `virtual` and out-of-class `Type Class::method(` definitions
+#: (the capture is the method name; constructors `T::T(` have no return
+#: type token and stay out — documented shape limit)
+_CPP_FUNC = (
+    r"(?m)^(?!typedef\b)(?:static |inline |extern |unsigned |signed |const |virtual )*"
+    r"[A-Za-z_][A-Za-z0-9_]*[ \t*&]+\*?(?:[A-Za-z_][A-Za-z0-9_]*::)?"
+    r"([A-Za-z_][A-Za-z0-9_]*)\s*\("
+)
 
 #: language → module-import patterns (EXACTLY one capture group = the
 #: module: multi-group patterns would break both ``regexp_extract_all``'s
@@ -86,6 +117,17 @@ _DEFINE_PATTERNS = {
     ],
     "java": [
         r"(?m)^(?:public |final |abstract ){0,3}(?:class|interface|enum) ([A-Za-z_][A-Za-z0-9_$]*)",
+        # round 7: method definitions — indented, optional modifiers, a
+        # return-type token (generics/arrays in the type charset), the
+        # captured name, a `;`-free parameter list, and the opening
+        # brace on the same line (calls end `;`, so they never match);
+        # `(?!new\s|return\s)` keeps `new Runnable() {` and
+        # `return new Builder() {` out. Constructors (no return type)
+        # and multi-token generic types (`Map<String, Integer>`) are
+        # the documented shape limits.
+        r"(?m)^[ \t]+(?:(?:public|private|protected|static|final|synchronized|abstract|native|default)\s+)*"
+        r"(?!new\s|return\s)[A-Za-z_][A-Za-z0-9_$<>\[\]]*\s+"
+        r"([A-Za-z_][A-Za-z0-9_$]*)\s*\([^;(){}]*\)\s*\{",
     ],
     "go": [
         # methods keep their name, the `(recv T)` receiver is skipped
@@ -98,7 +140,8 @@ _DEFINE_PATTERNS = {
         r"(?m)^(?:pub(?:\([a-z]*\))? )?fn ([A-Za-z_][A-Za-z0-9_]*)",
         r"(?m)^(?:pub(?:\([a-z]*\))? )?(?:struct|enum|trait) ([A-Za-z_][A-Za-z0-9_]*)",
     ],
-    "cpp": [r"(?m)^(?:class|struct) ([A-Za-z_][A-Za-z0-9_]*)"],
+    "c": [_C_FUNC],
+    "cpp": [r"(?m)^(?:class|struct) ([A-Za-z_][A-Za-z0-9_]*)", _CPP_FUNC],
 }
 
 #: file --declares--> package: the container a file announces itself
@@ -139,9 +182,11 @@ _STRIP_PATTERNS = {
     # is the documented shape limit
     "javascript": _C_STYLE_STRIP + [r"(?s)`[^`]*`"],
     "typescript": _C_STYLE_STRIP + [r"(?s)`[^`]*`"],
-    # rust block comments nest; the non-greedy single level is the shape
-    # limit (a nested `/* /* */ */` leaves the outer tail uncommented)
-    "rust": _C_STYLE_STRIP,
+    # rust block comments nest: strip INNERMOST blocks (no `/*` inside)
+    # twice, so one nesting level — the idiomatic case — strips fully
+    # (`/* a /* b */ c */` → `/* a  c */` → ``); deeper nesting is the
+    # remaining documented shape limit
+    "rust": [r"(?s)/\*(?:(?!/\*).)*?\*/", r"(?s)/\*(?:(?!/\*).)*?\*/", r"(?m)//.*$"],
     "c": _C_STYLE_STRIP,
     "cpp": _C_STYLE_STRIP,
 }
@@ -264,7 +309,17 @@ def synthetic_source_files(n: int = 32) -> list:
                 f"import static org.lib_{i % 5}.Util.helper;\n"
                 "/*\nimport block.comment.Trap;\nclass BlockTrap {}\n*/\n"
                 "// import line.comment.Trap;\n"
-                f"public class Main_{i} {{}}\n"
+                f"public class Main_{i} {{\n"
+                f"    public int add_{i}(int a, int b) {{ return a + b; }}\n"
+                f"    static List<String> names_{i}() {{ return null; }}\n"
+                "    void run() {\n"
+                "        obj.callTrap(arg);\n"  # call, ends ';' — no match
+                "        Runnable r = new Runnable() {\n"  # anon class — no match
+                "        };\n"
+                f"        return new Builder_{i}() {{\n"  # return-new — no match
+                "        };\n"
+                "    }\n"
+                "}\n"
                 f"abstract class Base_{i} {{}}\ninterface Iface_{i} {{}}\n"
             )
         elif lang == "go":
@@ -290,7 +345,17 @@ def synthetic_source_files(n: int = 32) -> list:
                 "// const t = require('require-trap')\n"
                 "const tpl = `\nimport 'template-literal-trap'\n`\n"
                 f"export default function Component_{i}() {{}}\n"
-                f"class Widget_{i} {{}}\n" + iface
+                f"class Widget_{i} {{}}\n"
+                f"export const fmt_{i} = (x) => String(x)\n"
+                f"const pick_{i} = async item => item.id\n"
+                f"const plain_{i} = 42\n"  # no arrow — must NOT extract
+                + iface
+                + (
+                    f"let on_{i}: Handler = (e) => e\n"
+                    f"export type Mode_{i} = 'a' | 'b'\n"
+                    if ext == "ts"
+                    else ""
+                )
             )
             path = f"src/comp_{i}.{ext}"
         elif lang == "rust":
@@ -302,6 +367,7 @@ def synthetic_source_files(n: int = 32) -> list:
                 f"mod submod_{i};\n"
                 "// use commented::line_trap;\n"
                 "/*\nuse commented::block_trap;\nfn block_trap() {}\n*/\n"
+                "/* outer /* nested */ use nested::comment_trap;\nfn tail_trap() {} */\n"
                 f"pub fn run_{i}() {{}}\nfn helper_{i}() {{}}\n"
                 f"pub struct State_{i};\nenum Mode_{i} {{}}\ntrait Act_{i} {{}}\n"
             )
@@ -310,9 +376,13 @@ def synthetic_source_files(n: int = 32) -> list:
             content = (
                 f"#include <stdio.h>\n#include \"core_{i % 5}.h\"\n"
                 "# include <spaced.h>\n"
-                "/*\n#include <block_trap.h>\n*/\n"
+                "/*\n#include <block_trap.h>\nint comment_fn_trap(void);\n*/\n"
                 "// #include <line_trap.h>\n"
                 f"int main_{i}(void) {{ return 0; }}\n"
+                f"static unsigned long *helper_{i}(int n) {{ return 0; }}\n"
+                f"int proto_{i}(int);\n"  # prototype: declaration-level extract
+                f"typedef int (*cb_{i})(void);\n"  # fn-pointer typedef — no match
+                "int width = 640;\n"  # initializer — no match
             )
         else:  # cpp
             path = f"src/engine_{i}.cpp"
@@ -321,6 +391,10 @@ def synthetic_source_files(n: int = 32) -> list:
                 "/*\n#include <block_trap.hpp>\nclass BlockTrap;\n*/\n"
                 "// #include <line_trap.hpp>\n"
                 f"class Engine_{i} {{}};\nstruct Opts_{i} {{}};\n"
+                f"void render_{i}(int frame) {{}}\n"
+                f"virtual const char *name_{i}() const;\n"
+                f"int Engine_{i}::run(int ticks) {{ return ticks; }}\n"
+                f"typedef void (*hook_{i})(int);\n"  # fn-pointer typedef — no match
             )
         rows.append((repo, path, f"c{i:04d}", lang, content))
     # the ADVICE counterexample: identical path in two different repos —

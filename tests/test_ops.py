@@ -981,6 +981,66 @@ def test_code_edges_extended_languages(spark):
     assert triples.count() == len(imports) + len(defs) + len(pkgs)
 
 
+def test_code_define_coverage_round7(spark):
+    """Round-7 define fills (VERDICT tasks 3+7): C functions (incl.
+    static/pointer returns and prototypes at declaration grain), C++
+    free functions and out-of-class ::methods, java method definitions,
+    js/ts arrow-function consts and TS type aliases — with the
+    function-pointer-typedef, call-site, new-anon-class and
+    initializer traps unextracted, and rust one-level NESTED block
+    comments fully stripped."""
+    from kgpipe.ops import codeops
+    from kgpipe.schemas import CORPUS_SCHEMA
+
+    rows = [
+        ("r", "m.c", "c1", "c",
+         "#include <stdio.h>\n"
+         "int main(void) { return 0; }\n"
+         "static unsigned long *mk_table(int n) { return 0; }\n"
+         "int fwd(int);\n"
+         "typedef int (*cb)(void);\n"
+         "int width = 640;\n"),
+        ("r", "e.cpp", "c1", "cpp",
+         "class Engine {};\n"
+         "void render(int frame) {}\n"
+         "virtual const char *name() const;\n"
+         "int Engine::run(int t) { return t; }\n"
+         "typedef void (*hook)(int);\n"),
+        ("r", "S.java", "c1", "java",
+         "public class S {\n"
+         "    public int add(int a, int b) { return a + b; }\n"
+         "    static List<String> names() { return null; }\n"
+         "    void go() {\n"
+         "        obj.callTrap(arg);\n"
+         "        Runnable r = new Runnable() {\n"
+         "        };\n"
+         "        return new Builder() {\n"
+         "        };\n"
+         "    }\n"
+         "}\n"),
+        ("r", "a.ts", "c1", "typescript",
+         "export const fmt = (x) => String(x)\n"
+         "const pick = async item => item.id\n"
+         "let on: Handler = (e) => e\n"
+         "const plain = 42\n"
+         "export type Mode = 'a' | 'b'\n"),
+        ("r", "n.rs", "c1", "rust",
+         "/* outer /* inner */ use nested::trap;\nfn tail_trap() {} */\n"
+         "pub fn keep() {}\n"),
+    ]
+    files = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    defs = {(r.path, r.symbol) for r in codeops.defined_symbols(files).collect()}
+    assert defs == {
+        ("m.c", "main"), ("m.c", "mk_table"), ("m.c", "fwd"),
+        ("e.cpp", "Engine"), ("e.cpp", "render"), ("e.cpp", "name"),
+        ("e.cpp", "run"),
+        ("S.java", "S"), ("S.java", "add"), ("S.java", "names"),
+        ("S.java", "go"),
+        ("a.ts", "fmt"), ("a.ts", "pick"), ("a.ts", "on"), ("a.ts", "Mode"),
+        ("n.rs", "keep"),
+    }
+
+
 def test_code_scaled_generator_matches_python_re(spark):
     """The JVM-generated bench table (spark.range + format_string, no
     driver rows) yields exactly the triples an independent Python-re
