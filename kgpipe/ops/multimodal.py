@@ -73,18 +73,77 @@ def parse_png_ihdr(data: bytes) -> tuple[int, int] | None:
     return (width, height)
 
 
+#: JPEG start-of-frame markers carrying the dimension payload (ITU T.81
+#: table B.1): C0-CF minus DHT (C4), JPG (C8) and DAC (CC). SOF0
+#: (baseline), SOF1 (extended sequential) and SOF2 (progressive) are the
+#: ones met in practice; the lossless/arithmetic variants share the
+#: exact payload layout, so they parse for free.
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+#: standalone markers with NO length field (TEM, RSTn; SOI handled apart)
+_JPEG_STANDALONE = frozenset(range(0xD0, 0xD8)) | {0x01}
+
+
+def parse_jpeg_sof(data: bytes) -> tuple[int, int] | None:
+    """TRUE (width, height) from a JPEG's SOF segment — pure Python, no
+    native codec (round 7, VERDICT task 4; the IHDR move applied to the
+    marker-segment container): walk FF-marker segments from SOI,
+    skipping fill bytes and standalone markers, hop over each segment by
+    its big-endian length, and read ``precision(1) height(2) width(2)``
+    from the first SOFn payload. Returns None for non-JPEG, truncated
+    bytes, or a stream hitting SOS/EOI before any SOF, so callers fall
+    through to their codec/stub path."""
+    data = data or b""
+    n = len(data)
+    if n < 4 or data[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 1 < n:
+        if data[i] != 0xFF:
+            return None  # lost marker alignment: corrupt stream
+        while i < n and data[i] == 0xFF:
+            i += 1  # fill bytes (spec B.1.1.2) collapse into the marker
+        if i >= n:
+            return None
+        marker = data[i]
+        i += 1
+        if marker in _JPEG_STANDALONE or marker == 0xD8:
+            continue
+        if marker in (0xD9, 0xDA):
+            return None  # EOI / entropy-coded data before any SOF
+        if i + 2 > n:
+            return None
+        seg_len = int.from_bytes(data[i : i + 2], "big")
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF_MARKERS:
+            if i + 7 > n:
+                return None
+            height = int.from_bytes(data[i + 3 : i + 5], "big")
+            width = int.from_bytes(data[i + 5 : i + 7], "big")
+            if width == 0 or height == 0:
+                return None
+            return (width, height)
+        i += seg_len
+    return None
+
+
 def _decode_image_stub(payload: bytes, strict: bool) -> tuple[int, int, str]:
-    """No-codec decode: PNG headers are parsed for REAL dimensions (pure
-    Python — no library needed); other formats fall back to the stub, a
-    deterministic fake derived from the bytes so tests are reproducible.
-    A real deployment swaps in PIL/opencv via ``decode=``/autodetect."""
+    """No-codec decode: PNG (IHDR) and JPEG (SOFn) headers are parsed
+    for REAL dimensions (pure Python — no library needed); other formats
+    fall back to the stub, a deterministic fake derived from the bytes
+    so tests are reproducible. A real deployment swaps in PIL/opencv via
+    ``decode=``/autodetect."""
     ihdr = parse_png_ihdr(payload or b"")
     if ihdr is not None:
         return (ihdr[0], ihdr[1], "png")
+    sof = parse_jpeg_sof(payload or b"")
+    if sof is not None:
+        return (sof[0], sof[1], "jpeg")
     if strict:
         raise NotImplementedError(
-            "non-PNG image decode requires PIL/opencv, not present in this "
-            "container (PNG dimensions parse codec-free via parse_png_ihdr)"
+            "non-PNG/JPEG image decode requires PIL/opencv, not present in "
+            "this container (PNG/JPEG dimensions parse codec-free via "
+            "parse_png_ihdr / parse_jpeg_sof)"
         )
     h = hashlib.sha256(payload or b"").digest()
     return (64 + h[0] % 64, 64 + h[1] % 64, ["png", "jpeg", "webp"][h[2] % 3])
@@ -230,11 +289,62 @@ def sample_video_frames(
     )
 
 
+# ---------------------------------------------------------------------------
+# deterministic fixture builders: REAL container bytes (spec-conformant
+# marker/chunk structure) whose dimensions are known from construction —
+# shared by tests, synthetic_media and the queries.py oracle, which
+# derives expected width/height from the construction PARAMETERS rather
+# than by re-running the parsers under test
+# ---------------------------------------------------------------------------
+
+
+def png_fixture_bytes(width: int, height: int) -> bytes:
+    """Minimal real PNG: signature + IHDR chunk (CRC zeroed — readers of
+    the dimension fields never get that far)."""
+    return (
+        _PNG_MAGIC
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 6, 0, 0, 0])
+        + b"\x00\x00\x00\x00"
+    )
+
+
+def jpeg_fixture_bytes(width: int, height: int, progressive: bool = False) -> bytes:
+    """Minimal real JPEG: SOI, APP0/JFIF, DQT, SOF0 (or SOF2 when
+    ``progressive``) carrying precision/height/width/3 components, EOI —
+    every segment with a correct big-endian length."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x02\x01\x00H\x00H\x00\x00"
+    dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes(64)
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof_payload = (
+        b"\x08"
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    sof = sof_marker + (len(sof_payload) + 2).to_bytes(2, "big") + sof_payload
+    return b"\xff\xd8" + app0 + dqt + sof + b"\xff\xd9"
+
+
 def synthetic_media(spark, n: int = 32) -> DataFrame:
-    """Deterministic fake media table for tests/benchmarks."""
+    """Deterministic fake media table for tests/benchmarks. Image rows
+    cycle real-PNG (i%9==0), real-JPEG (i%9==3, progressive every other)
+    and opaque stub payloads, so the codec-free header parsers AND the
+    deterministic stub are all exercised by the same table."""
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(str(i).encode()).digest() * (4 + i % 5)
         kind = ["image", "audio", "video"][i % 3]
-        rows.append((i, kind, bytearray(payload), f"application/x-{kind}"))
+        if kind == "image" and i % 9 == 0:
+            payload = png_fixture_bytes(16 + i, 9 + i)
+            mime = "image/png"
+        elif kind == "image" and i % 9 == 3:
+            payload = jpeg_fixture_bytes(32 + i, 18 + i, progressive=(i % 18 == 12))
+            mime = "image/jpeg"
+        else:
+            payload = hashlib.sha256(str(i).encode()).digest() * (4 + i % 5)
+            mime = f"application/x-{kind}"
+        rows.append((i, kind, bytearray(payload), mime))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

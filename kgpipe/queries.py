@@ -1542,19 +1542,32 @@ def _multimodal_image_meta_oracle() -> str:
     import hashlib
 
     rows = []
+    from kgpipe.ops.multimodal import jpeg_fixture_bytes, png_fixture_bytes
+
     for i in range(_MM_N):
         if i % 3 != 0:  # kind != image
             continue
-        payload = hashlib.sha256(str(i).encode()).digest() * (4 + i % 5)
-        h = hashlib.sha256(payload).digest()
+        # mirror synthetic_media's payload choice; expected dimensions
+        # come from the construction PARAMETERS, never from re-running
+        # the header parsers under test (round 7: real-JPEG rows join
+        # the real-PNG and stub rows)
+        if i % 9 == 0:
+            payload, w, ht, fmt = png_fixture_bytes(16 + i, 9 + i), 16 + i, 9 + i, "png"
+        elif i % 9 == 3:
+            payload = jpeg_fixture_bytes(32 + i, 18 + i, progressive=(i % 18 == 12))
+            w, ht, fmt = 32 + i, 18 + i, "jpeg"
+        else:
+            payload = hashlib.sha256(str(i).encode()).digest() * (4 + i % 5)
+            h = hashlib.sha256(payload).digest()
+            w, ht, fmt = 64 + h[0] % 64, 64 + h[1] % 64, ["png", "jpeg", "webp"][h[2] % 3]
         rows.append(
             (
                 f"CAST({i} AS BIGINT)",
                 _sq(hashlib.sha256(payload).hexdigest()),
                 f"CAST(octet_length(unhex({_sq(payload.hex())})) AS BIGINT)",
-                f"CAST({64 + h[0] % 64} AS INT)",
-                f"CAST({64 + h[1] % 64} AS INT)",
-                _sq(["png", "jpeg", "webp"][h[2] % 3]),
+                f"CAST({w} AS INT)",
+                f"CAST({ht} AS INT)",
+                _sq(fmt),
             )
         )
     return _values_table(

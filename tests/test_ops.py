@@ -559,9 +559,47 @@ def test_multimodal_png_ihdr_true_dimensions(spark):
 
 
 def test_multimodal_strict_raises(spark):
-    media = synthetic_media(spark, 6)
+    # n=7 so a STUB image row (i=6) is present: the real-PNG (i=0) and
+    # real-JPEG (i=3) rows parse codec-free even under strict
+    media = synthetic_media(spark, 7)
     with pytest.raises(Exception, match="NotImplementedError|image decode"):
         image_metadata(media, strict=True).collect()
+
+
+def test_multimodal_jpeg_sof_true_dimensions(spark):
+    """JPEG payloads report their TRUE dimensions codec-free (pure-
+    Python SOF marker-segment walk - VERDICT r6 task 4): baseline SOF0,
+    progressive SOF2, fill bytes and restart markers skipped; truncated
+    streams, SOS-before-SOF and non-JPEG bytes fall back to the stub
+    rather than erroring - all through the real mapInPandas operator."""
+    from kgpipe.ops.multimodal import jpeg_fixture_bytes, parse_jpeg_sof
+
+    base = jpeg_fixture_bytes(640, 480)
+    prog = jpeg_fixture_bytes(1920, 1080, progressive=True)
+    assert parse_jpeg_sof(base) == (640, 480)
+    assert parse_jpeg_sof(prog) == (1920, 1080)
+    # fill bytes before a marker are legal (B.1.1.2)
+    filled = b"\xff\xd8\xff\xff\xff" + base[2:]
+    assert parse_jpeg_sof(filled) == (640, 480)
+    assert parse_jpeg_sof(base[:8]) is None           # truncated mid-segment
+    assert parse_jpeg_sof(b"\xff\xd8\xff\xda\x00\x04ab") is None  # SOS first
+    assert parse_jpeg_sof(b"GIF89a not a jpeg") is None
+    assert parse_jpeg_sof(b"") is None
+
+    rows = [
+        (1, "image", bytearray(base), "image/jpeg"),
+        (2, "image", bytearray(prog), "image/jpeg"),
+        (3, "image", bytearray(b"opaque webp-ish bytes"), "image/webp"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    meta = {m.media_id: m for m in image_metadata(media).collect()}
+    assert (meta[1].width, meta[1].height, meta[1].format) == (640, 480, "jpeg")
+    assert (meta[2].width, meta[2].height, meta[2].format) == (1920, 1080, "jpeg")
+    assert 64 <= meta[3].width < 128  # stub fake for the non-JPEG
+    # strict: JPEG still parses (real metadata), stub-only would raise
+    jpeg_only = spark.createDataFrame(rows[:2], MEDIA_SCHEMA)
+    strict_meta = {m.media_id: m for m in image_metadata(jpeg_only, strict=True).collect()}
+    assert strict_meta[2].width == 1920
 
 
 def test_multimodal_injected_codec(spark):
