@@ -878,27 +878,42 @@ PII_RULES: tuple = (
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
     ("\\+\\d{1,3}(?:[\\- ]?\\d{2,6}){2,4}\\b", "<PHONE>"),
+    # parenthesized NANP form "(555) 123-4567" (round 7, VERDICT r6 #6)
+    ("\\(\\d{3}\\) ?\\d{3}[\\- ]\\d{4}\\b", "<PHONE>"),
     ("\\b\\d{3,4}(?:[\\- ]\\d{3,4}){2,3}\\b", "<PHONE>"),
     ("\\+?\\b\\d{7,15}\\b", "<PHONE>"),
 )
 
+#: precision-biased variant: drops the bare 7-15 digit rule, whose
+#: recall (separator-free numbers like "call 5551234567") costs
+#: precision on digit-bearing non-phones (order ids, 8-digit dates like
+#: 20260817). The DEFAULT rule set keeps it — a pre-training scrub
+#: prefers recall at the trust boundary — and callers opt into
+#: precision via ``pii_scrub(rules=PII_RULES_PRECISE)``.
+PII_RULES_PRECISE: tuple = PII_RULES[:-1]
 
-def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", rules: tuple = PII_RULES
+) -> DataFrame:
     """PII redaction over the corpus: emails, IPv4 addresses and
     phone-like digit runs replaced by typed placeholder tokens, with a
     per-document redaction count — the pre-training scrub pass run
     before any corpus leaves the trust boundary.
 
     Fully row-local (zero shuffle, whole-stage-codegen'd regex chain);
-    rules are applied sequentially in PII_RULES order and each rule
+    rules are applied sequentially in ``rules`` order and each rule
     counts its matches on the text AS ALREADY SCRUBBED by the earlier
     rules — n_redactions is exactly the number of replacements
     performed, with overlapping matches resolved deterministically by
-    rule order. Returns (doc_id, scrubbed_text, n_redactions).
+    rule order. The default rule set is recall-biased (the bare 7-15
+    digit run redacts); ``rules=PII_RULES_PRECISE`` trades that recall
+    for precision on digit-bearing non-phones. Returns (doc_id,
+    scrubbed_text, n_redactions).
     """
     scrubbed = F.col(text_col)
     n_red = F.lit(0)
-    for pat, repl in PII_RULES:
+    for pat, repl in rules:
         n_red = n_red + F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return docs.select(

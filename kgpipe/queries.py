@@ -808,7 +808,7 @@ def _pii_augmented_sql(engine: str) -> str:
     cast = "VARCHAR" if engine == "duckdb" else "STRING"
     return (
         f"concat(text, ' contact user', CAST(doc_id AS {cast}), "
-        "'@example.com at 10.0.0.1 or +12 3456 7890 "
+        "'@example.com at 10.0.0.1 or +12 3456 7890 or (555) 123-4567 "
         "(year 2026, logged 2026 08 17 12 00, isbn 978-0-306-40615-7, "
         "id 1234567890123456, ref deadbeef1234567)')"
     )

@@ -296,6 +296,30 @@ def test_pii_phone_rules_spare_digit_bearing_non_phones(y, mo, d, h, mi, hx):
     assert out == text
 
 
+def test_pii_parenthesized_phone_and_precise_variant():
+    """Round 7 (VERDICT r6 #6): the parenthesized NANP form redacts;
+    parenthesized years/dates survive; the PRECISE rule set drops the
+    bare digit-run rule so order ids / 8-digit dates survive while
+    every separator-bearing phone form still redacts."""
+    import re as _re
+
+    from kgpipe.ops.textops import PII_RULES, PII_RULES_PRECISE
+
+    def scrub(text, rules):
+        for pat, repl in rules:
+            text = _re.sub(pat, repl, text)
+        return text
+
+    assert scrub("call (555) 123-4567 now", PII_RULES) == "call <PHONE> now"
+    assert scrub("call (555)123-4567 now", PII_RULES) == "call <PHONE> now"
+    assert scrub("(2026) was the year 08 17", PII_RULES) == "(2026) was the year 08 17"
+    # recall-biased default redacts the bare run; PRECISE spares it
+    assert scrub("order 20260817 shipped", PII_RULES) == "order <PHONE> shipped"
+    assert scrub("order 20260817 shipped", PII_RULES_PRECISE) == "order 20260817 shipped"
+    for phone in ("+1 555 123 4567", "(555) 123-4567", "555-123-4567"):
+        assert "<PHONE>" in scrub(f"at {phone}.", PII_RULES_PRECISE), phone
+
+
 # ---------------------------------------------------------------------------
 # round-6 term-page prefix slicing: sliced parse must NEVER diverge from
 # the full parse, on synthetic pages, chrome-wrapped pages, and soup
