@@ -127,23 +127,73 @@ def parse_jpeg_sof(data: bytes) -> tuple[int, int] | None:
     return None
 
 
+def parse_gif_lsd(data: bytes) -> tuple[int, int] | None:
+    """TRUE (width, height) from a GIF's Logical Screen Descriptor —
+    GIF87a/89a §18: 6-byte signature, then two little-endian uint16."""
+    data = data or b""
+    if len(data) < 10 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width = int.from_bytes(data[6:8], "little")
+    height = int.from_bytes(data[8:10], "little")
+    if width == 0 or height == 0:
+        return None
+    return (width, height)
+
+
+def parse_webp_header(data: bytes) -> tuple[int, int] | None:
+    """TRUE (width, height) from a WebP RIFF header, all three layouts:
+    'VP8 ' lossy (14-bit dims after the 9D012A sync), 'VP8L' lossless
+    (14-bit packed dims after the 0x2F signature), 'VP8X' extended
+    (24-bit canvas minus one)."""
+    data = data or b""
+    if len(data) < 30 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return None
+    chunk = data[12:16]
+    if chunk == b"VP8 ":
+        if data[23:26] != b"\x9d\x01\x2a":
+            return None
+        width = int.from_bytes(data[26:28], "little") & 0x3FFF
+        height = int.from_bytes(data[28:30], "little") & 0x3FFF
+    elif chunk == b"VP8L":
+        if data[20] != 0x2F:
+            return None
+        bits = int.from_bytes(data[21:25], "little")
+        width = (bits & 0x3FFF) + 1
+        height = ((bits >> 14) & 0x3FFF) + 1
+    elif chunk == b"VP8X":
+        width = int.from_bytes(data[24:27], "little") + 1
+        height = int.from_bytes(data[27:30], "little") + 1
+    else:
+        return None
+    if width == 0 or height == 0:
+        return None
+    return (width, height)
+
+
+#: codec-free header parsers tried in order by the no-codec decode path
+_HEADER_PARSERS = (
+    (parse_png_ihdr, "png"),
+    (parse_jpeg_sof, "jpeg"),
+    (parse_gif_lsd, "gif"),
+    (parse_webp_header, "webp"),
+)
+
+
 def _decode_image_stub(payload: bytes, strict: bool) -> tuple[int, int, str]:
-    """No-codec decode: PNG (IHDR) and JPEG (SOFn) headers are parsed
-    for REAL dimensions (pure Python — no library needed); other formats
-    fall back to the stub, a deterministic fake derived from the bytes
-    so tests are reproducible. A real deployment swaps in PIL/opencv via
-    ``decode=``/autodetect."""
-    ihdr = parse_png_ihdr(payload or b"")
-    if ihdr is not None:
-        return (ihdr[0], ihdr[1], "png")
-    sof = parse_jpeg_sof(payload or b"")
-    if sof is not None:
-        return (sof[0], sof[1], "jpeg")
+    """No-codec decode: PNG (IHDR), JPEG (SOFn), GIF (LSD) and WebP
+    (RIFF VP8/VP8L/VP8X) headers are parsed for REAL dimensions (pure
+    Python — no library needed); anything else falls back to the stub, a
+    deterministic fake derived from the bytes so tests are reproducible.
+    A real deployment swaps in PIL/opencv via ``decode=``/autodetect."""
+    for parser, fmt in _HEADER_PARSERS:
+        dims = parser(payload or b"")
+        if dims is not None:
+            return (dims[0], dims[1], fmt)
     if strict:
         raise NotImplementedError(
-            "non-PNG/JPEG image decode requires PIL/opencv, not present in "
-            "this container (PNG/JPEG dimensions parse codec-free via "
-            "parse_png_ihdr / parse_jpeg_sof)"
+            "image decode beyond PNG/JPEG/GIF/WebP headers requires "
+            "PIL/opencv, not present in this container (those four parse "
+            "codec-free via the _HEADER_PARSERS table)"
         )
     h = hashlib.sha256(payload or b"").digest()
     return (64 + h[0] % 64, 64 + h[1] % 64, ["png", "jpeg", "webp"][h[2] % 3])

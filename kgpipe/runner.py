@@ -77,9 +77,12 @@ def main() -> None:
     ap.add_argument(
         "--full-sections",
         action="store_true",
-        help="S11 full fidelity: materialize ALL seven zidian sections "
-        "into Hanzi node properties (the reference's per-character blobs, "
-        "hanyuguoxue.py:1411-1439); default keeps the pruned hot path",
+        help="S9/S10/S11 full fidelity: materialize ALL seven zidian "
+        "sections into Hanzi node properties (the reference's "
+        "per-character blobs, hanyuguoxue.py:1411-1439) AND the complete "
+        "idiom/word records (explanation/source/usage/..., "
+        "chengyu_mysql.py:162-221) into term node properties; default "
+        "keeps the pruned hot path",
     )
     ap.add_argument(
         "--sweep",

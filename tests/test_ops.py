@@ -558,6 +558,42 @@ def test_multimodal_png_ihdr_true_dimensions(spark):
     assert strict_meta[1].width == 640
 
 
+def test_multimodal_gif_webp_true_dimensions(spark):
+    """GIF logical-screen-descriptor and WebP VP8/VP8L/VP8X headers
+    parse codec-free like PNG/JPEG (round 7) - through the real
+    mapInPandas operator; malformed variants fall back to the stub."""
+    from kgpipe.ops.multimodal import parse_gif_lsd, parse_webp_header
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 6
+    assert parse_gif_lsd(gif) == (320, 200)
+    assert parse_gif_lsd(b"GIF89") is None
+    assert parse_gif_lsd(b"NOTGIF" + b"\x00" * 10) is None
+
+    def riff(chunk, body):
+        return b"RIFF" + (len(body) + 8).to_bytes(4, "little") + b"WEBP" + chunk + \
+            (len(body)).to_bytes(4, "little") + body
+
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a"
+               + (640).to_bytes(2, "little") + (360).to_bytes(2, "little") + b"\x00" * 8)
+    assert parse_webp_header(vp8) == (640, 360)
+    bits = (512 - 1) | ((288 - 1) << 14)
+    vp8l = riff(b"VP8L", b"\x2f" + bits.to_bytes(4, "little") + b"\x00" * 8)
+    assert parse_webp_header(vp8l) == (512, 288)
+    vp8x = riff(b"VP8X", b"\x00" * 4 + (1023).to_bytes(3, "little") + (767).to_bytes(3, "little") + b"\x00" * 4)
+    assert parse_webp_header(vp8x) == (1024, 768)
+    assert parse_webp_header(riff(b"ICCP", b"\x00" * 16)) is None
+    assert parse_webp_header(b"RIFFxxxxNOPE" + b"\x00" * 20) is None
+
+    rows = [
+        (1, "image", bytearray(gif), "image/gif"),
+        (2, "image", bytearray(vp8l), "image/webp"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    meta = {m.media_id: m for m in image_metadata(media).collect()}
+    assert (meta[1].width, meta[1].height, meta[1].format) == (320, 200, "gif")
+    assert (meta[2].width, meta[2].height, meta[2].format) == (512, 288, "webp")
+
+
 def test_multimodal_strict_raises(spark):
     # n=7 so a STUB image row (i=6) is present: the real-PNG (i=0) and
     # real-JPEG (i=3) rows parse codec-free even under strict
