@@ -71,39 +71,77 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 
-    lo = run_bench(n, sf_dir)
-    # cooldown: let the lo leg's JVM teardown / page-cache flush decay
-    # before the hi leg starts — BENCH.md's reconciliation shows local[N]
-    # numbers swing ±55% with host load, and the hi leg otherwise starts
-    # inside the lo leg's residual-load window, mechanically deflating
-    # the ratio (the converse ordering would inflate it)
     import time as _time
 
-    for _ in range(24):
-        if os.getloadavg()[0] < 1.0:
-            break
-        _time.sleep(10)
-    hi = run_bench(4 * n, sf_dir)
+    def cooldown():
+        # let the previous leg's JVM teardown / page-cache flush decay
+        # before the next leg starts — BENCH.md's reconciliation shows
+        # local[N] numbers swing ±55% with host load, and a leg otherwise
+        # starts inside the prior leg's residual-load window,
+        # mechanically skewing the ratio
+        for _ in range(24):
+            if os.getloadavg()[0] < 1.0:
+                break
+            _time.sleep(10)
+
+    # ABBA leg ordering with per-leg best (round 7): this host's per-core
+    # speed is time-varying (±35% on a fixed-work microbench, steal 0.0%
+    # — BENCH.md round-7 ceiling section), so a single lo-then-hi pass
+    # aliases host drift directly into the ratio (measured: the SAME
+    # code/config/input high leg ran 87.3s, 107.5s and 128.2s across
+    # three quiet-host samples). Running lo,hi,hi,lo and taking each
+    # leg's best sample means both legs sample both host epochs and one
+    # slow epoch cannot land entirely on one side of the ratio; per-leg
+    # best matches bench.py's own best-of-2 capability-estimation
+    # discipline (all raw legs are recorded in the artifact below).
+    repeats = int(os.environ.get("KGPIPE_SCALING_REPEATS", "2"))
+    order = [n, 4 * n, 4 * n, n] if repeats == 2 else [n, 4 * n] * repeats
+    legs: dict[int, list[dict]] = {n: [], 4 * n: []}
+    for i, cores in enumerate(order):
+        if i:
+            cooldown()
+        legs[cores].append(run_bench(cores, sf_dir))
+
+    def best_kg(samples: list[dict]) -> dict:
+        return max(samples, key=lambda s: s["kg_triples_per_sec"])
+
+    lo, hi = best_kg(legs[n]), best_kg(legs[4 * n])
+    lo_suite = min(s["value"] for s in legs[n])
+    hi_suite = min(s["value"] for s in legs[4 * n])
 
     tput_lo = lo["kg_triples_per_sec"]
     tput_hi = hi["kg_triples_per_sec"]
     kg_eff = round(tput_hi / (4 * tput_lo), 3)
-    suite_eff = round(lo["value"] / hi["value"] / 4, 3)
+    suite_eff = round(lo_suite / hi_suite / 4, 3)
 
     report = {
         "cores_low": n,
         "cores_high": 4 * n,
+        "protocol": f"ABBA x{repeats}, per-leg best",
         # per-leg host-load discipline (bench.py emits these): a leg whose
         # load_1m_start exceeds ~1 ran contended and its ratio is suspect
         "load_low": [lo.get("load_1m_start"), lo.get("load_1m_end")],
         "load_high": [hi.get("load_1m_start"), hi.get("load_1m_end")],
+        # full attempt history: every leg's kg time, suite time and loads
+        "all_legs": {
+            str(c): [
+                {
+                    "kg_sec": s["queries"]["kg_pipeline"],
+                    "kg_tput": s["kg_triples_per_sec"],
+                    "suite_sec": s["value"],
+                    "load": [s.get("load_1m_start"), s.get("load_1m_end")],
+                }
+                for s in legs[c]
+            ]
+            for c in (n, 4 * n)
+        },
         "sf": lo["sf"],
         "kg_triples": lo["kg_triples"],
         "kg_triples_per_sec_low": tput_lo,
         "kg_triples_per_sec_high": tput_hi,
         "kg_scaling_efficiency": kg_eff,
-        "suite_sec_low": lo["value"],
-        "suite_sec_high": hi["value"],
+        "suite_sec_low": lo_suite,
+        "suite_sec_high": hi_suite,
         "suite_scaling_efficiency": suite_eff,
         "queries_low": lo["queries"],
         "queries_high": hi["queries"],
@@ -117,12 +155,14 @@ def main() -> None:
         f"## Measured scaling results ({stamp}Z)",
         "",
         f"Protocol: identical job + input, `local[{n}]` vs `local[{4 * n}]` "
-        "(sandbox stand-in for N vs 4N executors), cold sessions, separate processes.",
+        "(sandbox stand-in for N vs 4N executors), cold sessions, separate "
+        f"processes, ABBA leg order x{repeats} with per-leg best "
+        "(host per-core speed is time-varying — see the round-7 ceiling section).",
         "",
         "| metric | local[%d] | local[%d] | scaling efficiency |" % (n, 4 * n),
         "|---|---|---|---|",
         f"| KG pipeline triples/sec ({lo['kg_triples']} triples) | {tput_lo} | {tput_hi} | **{kg_eff}** |",
-        f"| headline suite total sec (sf={lo['sf']}) | {lo['value']} | {hi['value']} | {suite_eff} |",
+        f"| headline suite total sec (sf={lo['sf']}) | {lo_suite} | {hi_suite} | {suite_eff} |",
         f"| 1-min load at leg start/end | {lo.get('load_1m_start')} / {lo.get('load_1m_end')} "
         f"| {hi.get('load_1m_start')} / {hi.get('load_1m_end')} | |",
         "",
@@ -133,6 +173,20 @@ def main() -> None:
     ]
     for q in lo["queries"]:
         lines.append(f"| {q} | {lo['queries'][q]} | {hi['queries'][q]} |")
+    lines += [
+        "",
+        "All legs (chronological; per-leg best in bold above):",
+        "",
+        "| leg | kg s | kg triples/s | suite s | load start/end |",
+        "|---|---|---|---|---|",
+    ]
+    for i, cores in enumerate(order):
+        s = legs[cores][sum(1 for c in order[:i] if c == cores)]
+        lines.append(
+            f"| {i + 1}: local[{cores}] | {s['queries']['kg_pipeline']} "
+            f"| {s['kg_triples_per_sec']} | {s['value']} "
+            f"| {s.get('load_1m_start')} / {s.get('load_1m_end')} |"
+        )
     lines.append("")
 
     bench_md = os.path.join(REPO, "BENCH.md")

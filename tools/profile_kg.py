@@ -43,9 +43,15 @@ def main() -> None:
         print(f"  {label}: {dt}s", flush=True)
         return time.time()
 
-    # instrument the fused flagship path by re-running its pieces
-    # explicitly, mirroring pipeline.build_graph exactly (round 7: pruned
-    # term UDFs + the single-evaluation Generate barrier)
+    # instrument an UNFUSED mirror of the flagship: same parse UDFs,
+    # linkage, edge families and final distinct as pipeline.build_graph
+    # (round 7: pruned term UDFs + the single-evaluation Generate
+    # barrier), but with an EAGER edge checkpoint between edge-build and
+    # triples so the phases are separately timeable. The real flagship
+    # fused past that barrier in round 6 (pipeline.py triples path), so
+    # the "edges dedup+checkpoint" mark here is a phase the production
+    # path no longer pays — read the split for WHERE time goes, not as
+    # the flagship's wall clock.
     g2_start = time.time()
 
     from pyspark.sql import functions as F  # noqa: F811
