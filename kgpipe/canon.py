@@ -121,10 +121,9 @@ def canonical_mapping(
     """(node_id → canonical_id, canonical_name) from variant-of edges.
 
     canonical member = lexicographically smallest *name* in the component
-    (see ``_elect_winners`` — the election runs distributed in BOTH
-    paths; only the component computation differs). Nodes outside any
-    variant cluster map to themselves implicitly (callers left-join and
-    coalesce).
+    (identical election rule in every path; see ``_elect_winners`` for
+    the distributed form). Nodes outside any variant cluster map to
+    themselves implicitly (callers left-join and coalesce).
 
     ``nodes`` supplies the (node_id, name) lookup for the election.
     Pass None to derive it FROM THE VARIANT EDGES THEMSELVES — edge rows
@@ -135,31 +134,33 @@ def canonical_mapping(
     heavyweight node pipeline (endpoint-stub distinct over every edge
     mention + the upsert window election) OFF the flagship triples path,
     which only ever needs names for the alias-cluster members.
+
+    Path selection (round 7): when the graph fits the driver AND the
+    name lookup is edge-derived, the ELECTION runs on the driver too —
+    the collected edge rows already carry every (id, name) pair, so the
+    mapping comes back as a single LocalRelation and the flagship pays
+    zero distributed jobs for canonicalization beyond the one collect
+    probe (the distributed election was join + agg + join + eager
+    checkpoint: ~3 serial job launches over KB-sized data, a pure
+    Amdahl term in every pipeline round at any cluster size). An
+    explicit ``nodes`` table or a graph past DRIVER_CC_MAX_EDGES keeps
+    the distributed CC + election path.
     """
-    if nodes is None:
-        nodes = (
-            variant_edges.select(
-                F.col("src_id").alias("node_id"), F.col("src_name").alias("name")
-            )
-            .unionByName(
-                variant_edges.select(
-                    F.col("dst_id").alias("node_id"), F.col("dst_name").alias("name")
-                )
-            )
-            .distinct()
-        )
     spark = variant_edges.sparkSession
-    slim = variant_edges.select("src_id", "dst_id")
+    edge_derived = nodes is None
+    probe_cols = (
+        ("src_id", "dst_id", "src_name", "dst_name")
+        if edge_derived
+        else ("src_id", "dst_id")
+    )
     # one job decides the path AND fetches the small-graph data: collect up
     # to the threshold + 1; only exceeding it falls back to distributed CC
-    rows = slim.limit(DRIVER_CC_MAX_EDGES + 1).collect()
+    rows = variant_edges.select(*probe_cols).limit(DRIVER_CC_MAX_EDGES + 1).collect()
     if not rows:
         return None  # no alias graph → canonicalization is the identity
     if len(rows) <= DRIVER_CC_MAX_EDGES:
-        # driver union-find over ids only (longs — no strings held or
-        # re-uploaded); component root = min node_id, matching the
-        # distributed CC's labeling, then the winner election runs
-        # through the same distributed tail as the large-graph path
+        # driver union-find; component root = min node_id, matching the
+        # distributed CC's labeling
         parent: dict = {}
 
         def find(x):
@@ -174,14 +175,49 @@ def canonical_mapping(
             if ra != rb:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
+        if edge_derived:
+            # driver election: same rule as _elect_winners — canonical =
+            # member with the smallest name ((name, id) key: name→id is
+            # injective here by construction, the id tiebreak just makes
+            # the driver rule total). Returns a LocalRelation: no shuffle,
+            # no checkpoint, re-evaluation is driver-local and free.
+            name_of: dict = {}
+            for r in rows:
+                name_of[r.src_id] = r.src_name
+                name_of[r.dst_id] = r.dst_name
+            members: dict = {}
+            for node in parent:
+                members.setdefault(find(node), []).append(node)
+            mapping_rows = []
+            for comp_nodes in members.values():
+                cid = min(comp_nodes, key=lambda nid: (name_of[nid], nid))
+                cname = name_of[cid]
+                mapping_rows.extend((nid, cid, cname) for nid in comp_nodes)
+            return spark.createDataFrame(
+                mapping_rows,
+                "node_id long, canonical_id long, canonical_name string",
+            )
         comp = spark.createDataFrame(
             [(node, find(node)) for node in parent],
             "node_id long, component_id long",
         )
         return _elect_winners(comp, nodes)
 
+    if edge_derived:
+        nodes = (
+            variant_edges.select(
+                F.col("src_id").alias("node_id"), F.col("src_name").alias("name")
+            )
+            .unionByName(
+                variant_edges.select(
+                    F.col("dst_id").alias("node_id"), F.col("dst_name").alias("name")
+                )
+            )
+            .distinct()
+        )
     comp = connected_components(
-        variant_edges, num_partitions=max(slim.count() // 2_000_000, 8)
+        variant_edges,
+        num_partitions=max(variant_edges.count() // 2_000_000, 8),
     )
     return _elect_winners(comp, nodes)
 

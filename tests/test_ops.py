@@ -852,6 +852,34 @@ def test_canonical_mapping_distributed_branch_matches_driver(spark, monkeypatch)
     }
 
 
+def test_canonical_mapping_edge_derived_paths_match(spark, monkeypatch):
+    """Round 7: on the edge-derived path (nodes=None) the small-graph
+    election runs fully on the driver (LocalRelation mapping — zero
+    distributed jobs beyond the collect probe). It must produce the
+    IDENTICAL mapping as the big-graph path (distributed CC + edge-
+    derived distinct + distributed election) on the same graph."""
+    from kgpipe import canon
+
+    edges = spark.createDataFrame(
+        [(1, 2, "b", "a"), (2, 3, "a", "c"), (10, 11, "z", "y")],
+        "src_id long, dst_id long, src_name string, dst_name string",
+    )
+    driver_path = {
+        (r.node_id, r.canonical_id, r.canonical_name)
+        for r in canon.canonical_mapping(edges).collect()
+    }
+    monkeypatch.setattr(canon, "DRIVER_CC_MAX_EDGES", 1)
+    distributed_path = {
+        (r.node_id, r.canonical_id, r.canonical_name)
+        for r in canon.canonical_mapping(edges).collect()
+    }
+    assert driver_path == distributed_path
+    assert driver_path == {
+        (1, 2, "a"), (2, 2, "a"), (3, 2, "a"),
+        (10, 11, "y"), (11, 11, "y"),
+    }
+
+
 # ---------------------------------------------------------------------------
 # round-5 additions: sequence packing, PII scrub, mixture sampling
 # ---------------------------------------------------------------------------
