@@ -486,6 +486,69 @@ def test_term_interior_slice_never_diverges_garbage(text):
     _forced_slice(Y, text, Y.parse_ciyu_html, Y.HOT_FIELDS)
 
 
+_SCAN_BITS = st.sampled_from(
+    [
+        "<div>", "</div>", "<script>", "</script>", "</scriptX>", "text",
+        "<", "<!--", "-->", "<!-- c -->", "<!doctype html>", "<?php x ?>",
+        "<![CDATA[x]]>", '<a href="x>y">', "<b c='>'>", "<img/>",
+        "<script src=foo/>", "a<b", "</>", "</ p>", "</p junk>",
+        "<style>.x{}</style>", '<script>var a="</scriptX>";</script>',
+        "<p class=x>", "<-- weird", "<!>", "<!-x>", "-- >", "<span>",
+        "</span>", "</b>", "<br>", "<script/>", "2<3", "</STYLE>",
+        "<STYLE>", "&amp;", "<ul><li>a</li>", "</ul>",
+        "<SCRIPT>x</script>", "<script>y</SCRIPT>",
+    ]
+)
+_SCAN_SOUP = st.lists(_SCAN_BITS, max_size=12).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    _SCAN_SOUP,
+    st.sampled_from(
+        [
+            {},
+            {"interior": True},
+            {"prefix": True},
+            {"allow_empty_stray": False},
+            {"interior": True, "allow_empty_stray": False},
+        ]
+    ),
+)
+def test_scan_region_fast_agrees_with_exact(soup, mode):
+    """Round-7 gate-economics fast path: whenever the one-C-match-per-
+    construct scanner decides a region (returns non-None), its
+    RegionScan must be BIT-IDENTICAL to the exact simulation's in every
+    mode — the dispatch may only change speed, never a verdict."""
+    from kgpipe.parse.slicing import _scan_region, _scan_region_fast
+
+    fast = _scan_region_fast(soup, **mode)
+    if fast is not None:
+        assert fast == _scan_region(soup, **mode)
+
+
+def test_scan_region_fast_decides_the_chrome_shape():
+    """The fast path must actually cover the realistic chrome the
+    corpus's chrome=True mode emits (prefix AND interior regions) —
+    otherwise the gate economics silently regress to the exact scan."""
+    from kgpipe.corpus import generate_corpus
+    from kgpipe.parse.slicing import _scan_region, _scan_region_fast
+
+    corpus = generate_corpus(n_hanzi=4, n_words=8, n_idioms=6, seed=42, chrome=True)
+    undecided = 0
+    for row in corpus.rows:
+        html = row["content"]
+        i = html.find("ci-title")
+        if i < 0:
+            continue
+        prefix = html[: html.rfind("<", 0, i)]
+        fast = _scan_region_fast(prefix, prefix=True)
+        assert fast is None or fast == _scan_region(prefix, prefix=True)
+        if fast is None:
+            undecided += 1
+    assert undecided == 0
+
+
 def test_term_slice_sibling_split_regression():
     """Round-7 pinned divergence channel: a mid-page '</body>' stray
     close puts the 网络解释 heading's parent (child of <body>) and the
