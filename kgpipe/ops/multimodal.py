@@ -170,6 +170,63 @@ def parse_webp_header(data: bytes) -> tuple[int, int] | None:
     return (width, height)
 
 
+def _iter_mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, box_end) for the ISOBMFF boxes in
+    ``data[start:end]`` (ISO/IEC 14496-12 §4.2: size(4) type(4), size==1
+    → 64-bit largesize follows, size==0 → box runs to the container
+    end). Stops silently at the first corrupt/truncated box — callers
+    treat an incomplete walk as 'no dimensions found'."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(data[i : i + 4], "big")
+        btype = data[i + 4 : i + 8]
+        header = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(data[i + 8 : i + 16], "big")
+            header = 16
+        elif size == 0:
+            size = end - i
+        if size < header or i + size > end:
+            return
+        yield btype, i + header, i + size
+        i += size
+
+
+def parse_mp4_tkhd(data: bytes) -> tuple[int, int] | None:
+    """TRUE (width, height) from an MP4/ISOBMFF track header — pure
+    Python, no native codec (round 7: the IHDR/SOF move applied to the
+    box container): require a leading ``ftyp`` box, walk
+    moov → trak → tkhd, and read the two 16.16 fixed-point dimension
+    words at the end of the tkhd payload (version 0 at offset 76,
+    version 1 at 88 — §8.3.2). Audio tracks carry zero dimensions and
+    are skipped; the first track with nonzero dimensions wins. Returns
+    None for non-ISOBMFF, truncated boxes, or no visual track, so
+    callers fall through to their codec/stub path."""
+    data = data or b""
+    n = len(data)
+    if n < 16 or data[4:8] != b"ftyp":
+        return None
+    for btype, s, e in _iter_mp4_boxes(data, 0, n):
+        if btype != b"moov":
+            continue
+        for t2, s2, e2 in _iter_mp4_boxes(data, s, e):
+            if t2 != b"trak":
+                continue
+            for t3, s3, e3 in _iter_mp4_boxes(data, s2, e2):
+                if t3 != b"tkhd" or s3 >= e3:
+                    continue
+                off = s3 + (88 if data[s3] == 1 else 76)
+                if off + 8 > e3:
+                    continue
+                width = int.from_bytes(data[off : off + 4], "big") >> 16
+                height = int.from_bytes(data[off + 4 : off + 8], "big") >> 16
+                if width and height:
+                    return (width, height)
+    return None
+
+
 #: codec-free header parsers tried in order by the no-codec decode path
 _HEADER_PARSERS = (
     (parse_png_ihdr, "png"),
@@ -285,6 +342,72 @@ def image_metadata(
     )
 
 
+#: video metadata carries the same typed columns as image metadata
+VIDEO_META_SCHEMA = IMAGE_META_SCHEMA
+
+
+def _decode_video_stub(payload: bytes, strict: bool) -> tuple[int, int, str]:
+    """No-codec video decode: MP4/ISOBMFF track headers are parsed for
+    REAL dimensions (pure Python, ``parse_mp4_tkhd``); anything else
+    falls back to the deterministic stub — or NotImplementedError under
+    ``strict``. A real deployment swaps in ffprobe/opencv via
+    ``decode=``."""
+    dims = parse_mp4_tkhd(payload or b"")
+    if dims is not None:
+        return (dims[0], dims[1], "mp4")
+    if strict:
+        raise NotImplementedError(
+            "video decode beyond MP4/ISOBMFF track headers requires a "
+            "real demuxer (ffprobe/opencv), not present in this container"
+        )
+    h = hashlib.sha256(payload or b"").digest()
+    return (128 + h[0] % 128, 96 + h[1] % 96, ["mp4", "webm", "avi"][h[2] % 3])
+
+
+def video_metadata(media: DataFrame, strict: bool = False, decode=None) -> DataFrame:
+    """Inspect video payloads → typed metadata, via Arrow-batched
+    mapInPandas (same narrow shape as :func:`image_metadata`: the binary
+    column is read once per batch and never shuffled).
+
+    ``decode``: dependency-injected ``callable(bytes) -> (width, height,
+    format)``; when omitted, MP4/ISOBMFF dimensions parse codec-free and
+    everything else is the deterministic stub — or NotImplementedError
+    under ``strict``, which (as with images) contracts with the stub
+    path only."""
+    if strict and decode is not None:
+        raise ValueError(
+            "strict=True is the no-codec contract (raise instead of fake "
+            "metadata); it cannot combine with an injected decode callable"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                if decode is not None:
+                    width, height, fmt = decode(data)
+                else:
+                    width, height, fmt = _decode_video_stub(data, strict)
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "sha256": hashlib.sha256(data).hexdigest(),
+                        "n_bytes": len(data),
+                        "width": width,
+                        "height": height,
+                        "format": fmt,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_META_SCHEMA.fields]
+            )
+
+    return media.where(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
+        batches, VIDEO_META_SCHEMA
+    )
+
+
 FRAME_SAMPLE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -379,11 +502,56 @@ def jpeg_fixture_bytes(width: int, height: int, progressive: bool = False) -> by
     return b"\xff\xd8" + app0 + dqt + sof + b"\xff\xd9"
 
 
+def mp4_fixture_bytes(width: int, height: int, version: int = 0) -> bytes:
+    """Minimal real MP4: ftyp, then moov containing an AUDIO trak
+    (zero-dimension tkhd — the skip trap) followed by the video trak
+    whose tkhd carries the 16.16 fixed-point dimensions (version 0 or
+    1 layout), then an mdat stub. Every box has a correct 32-bit size."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return (len(payload) + 8).to_bytes(4, "big") + btype + payload
+
+    def tkhd(w: int, h: int) -> bytes:
+        if version == 1:
+            times = (
+                (0).to_bytes(8, "big") * 2  # creation/modification
+                + (1).to_bytes(4, "big")  # track_ID
+                + bytes(4)  # reserved
+                + (0).to_bytes(8, "big")  # duration
+            )
+        else:
+            times = bytes(8) + (1).to_bytes(4, "big") + bytes(4) + bytes(4)
+        matrix = (
+            (0x00010000).to_bytes(4, "big") + bytes(12)
+            + (0x00010000).to_bytes(4, "big") + bytes(12)
+            + (0x40000000).to_bytes(4, "big")
+        )
+        return (
+            bytes([version, 0, 0, 7])  # version + flags
+            + times
+            + bytes(8)  # reserved
+            + bytes(8)  # layer/alternate_group/volume/reserved
+            + matrix
+            + (w << 16).to_bytes(4, "big")
+            + (h << 16).to_bytes(4, "big")
+        )
+
+    ftyp = box(b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"isomiso2mp41")
+    moov = box(
+        b"moov",
+        box(b"trak", box(b"tkhd", tkhd(0, 0)))  # audio track: skipped
+        + box(b"trak", box(b"tkhd", tkhd(width, height))),
+    )
+    return ftyp + moov + box(b"mdat", bytes(16))
+
+
 def synthetic_media(spark, n: int = 32) -> DataFrame:
     """Deterministic fake media table for tests/benchmarks. Image rows
     cycle real-PNG (i%9==0), real-JPEG (i%9==3, progressive every other)
-    and opaque stub payloads, so the codec-free header parsers AND the
-    deterministic stub are all exercised by the same table."""
+    and opaque stub payloads; video rows cycle real-MP4 (i%9==5, tkhd
+    version 1 every other) and opaque stubs — so every codec-free
+    header parser AND the deterministic stubs are all exercised by the
+    same table."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -393,6 +561,9 @@ def synthetic_media(spark, n: int = 32) -> DataFrame:
         elif kind == "image" and i % 9 == 3:
             payload = jpeg_fixture_bytes(32 + i, 18 + i, progressive=(i % 18 == 12))
             mime = "image/jpeg"
+        elif kind == "video" and i % 9 == 5:
+            payload = mp4_fixture_bytes(64 + i, 36 + i, version=(1 if i % 18 == 14 else 0))
+            mime = "video/mp4"
         else:
             payload = hashlib.sha256(str(i).encode()).digest() * (4 + i % 5)
             mime = f"application/x-{kind}"

@@ -1532,9 +1532,15 @@ _MM_N = 32
 
 @_q("multimodal_image_meta")
 def multimodal_image_meta(spark, sf):
-    from kgpipe.ops.multimodal import image_metadata, synthetic_media
+    # FOLD (round 7): one entry covers the whole media-metadata family —
+    # image_metadata (PNG/JPEG headers + stub) UNION video_metadata
+    # (MP4/ISOBMFF tkhd + stub) over the same synthetic table; the kinds
+    # partition media_id space (i%3), so the union is disjoint and the
+    # one VALUES oracle gates both operators exactly.
+    from kgpipe.ops.multimodal import image_metadata, synthetic_media, video_metadata
 
-    return image_metadata(synthetic_media(spark, _MM_N))
+    media = synthetic_media(spark, _MM_N)
+    return image_metadata(media).unionByName(video_metadata(media))
 
 
 @_lazy_oracle("multimodal_image_meta")
@@ -1542,24 +1548,38 @@ def _multimodal_image_meta_oracle() -> str:
     import hashlib
 
     rows = []
-    from kgpipe.ops.multimodal import jpeg_fixture_bytes, png_fixture_bytes
+    from kgpipe.ops.multimodal import (
+        jpeg_fixture_bytes,
+        mp4_fixture_bytes,
+        png_fixture_bytes,
+    )
 
     for i in range(_MM_N):
-        if i % 3 != 0:  # kind != image
+        if i % 3 == 1:  # kind == audio: in neither metadata family
             continue
         # mirror synthetic_media's payload choice; expected dimensions
         # come from the construction PARAMETERS, never from re-running
         # the header parsers under test (round 7: real-JPEG rows join
-        # the real-PNG and stub rows)
-        if i % 9 == 0:
-            payload, w, ht, fmt = png_fixture_bytes(16 + i, 9 + i), 16 + i, 9 + i, "png"
-        elif i % 9 == 3:
-            payload = jpeg_fixture_bytes(32 + i, 18 + i, progressive=(i % 18 == 12))
-            w, ht, fmt = 32 + i, 18 + i, "jpeg"
-        else:
-            payload = hashlib.sha256(str(i).encode()).digest() * (4 + i % 5)
-            h = hashlib.sha256(payload).digest()
-            w, ht, fmt = 64 + h[0] % 64, 64 + h[1] % 64, ["png", "jpeg", "webp"][h[2] % 3]
+        # the real-PNG and stub rows; video rows fold in with real-MP4
+        # tkhd dimensions at i%9==5)
+        if i % 3 == 0:  # image
+            if i % 9 == 0:
+                payload, w, ht, fmt = png_fixture_bytes(16 + i, 9 + i), 16 + i, 9 + i, "png"
+            elif i % 9 == 3:
+                payload = jpeg_fixture_bytes(32 + i, 18 + i, progressive=(i % 18 == 12))
+                w, ht, fmt = 32 + i, 18 + i, "jpeg"
+            else:
+                payload = hashlib.sha256(str(i).encode()).digest() * (4 + i % 5)
+                h = hashlib.sha256(payload).digest()
+                w, ht, fmt = 64 + h[0] % 64, 64 + h[1] % 64, ["png", "jpeg", "webp"][h[2] % 3]
+        else:  # video
+            if i % 9 == 5:
+                payload = mp4_fixture_bytes(64 + i, 36 + i, version=(1 if i % 18 == 14 else 0))
+                w, ht, fmt = 64 + i, 36 + i, "mp4"
+            else:
+                payload = hashlib.sha256(str(i).encode()).digest() * (4 + i % 5)
+                h = hashlib.sha256(payload).digest()
+                w, ht, fmt = 128 + h[0] % 128, 96 + h[1] % 96, ["mp4", "webm", "avi"][h[2] % 3]
         rows.append(
             (
                 f"CAST({i} AS BIGINT)",
@@ -1586,12 +1606,18 @@ def multimodal_frame_sample(spark, sf):
 def _multimodal_frame_sample_oracle() -> str:
     import hashlib
 
+    from kgpipe.ops.multimodal import mp4_fixture_bytes
+
     every_n = 10
     rows = []
     for i in range(_MM_N):
         if i % 3 != 2:  # kind != video
             continue
-        payload = hashlib.sha256(str(i).encode()).digest() * (4 + i % 5)
+        # mirror synthetic_media: real-MP4 payloads at i%9==5 (round 7)
+        if i % 9 == 5:
+            payload = mp4_fixture_bytes(64 + i, 36 + i, version=(1 if i % 18 == 14 else 0))
+        else:
+            payload = hashlib.sha256(str(i).encode()).digest() * (4 + i % 5)
         n_frames = max(len(payload) // every_n, 1)
         for idx in range(min(n_frames, 8)):
             chunk = payload[idx * every_n : (idx + 1) * every_n]
