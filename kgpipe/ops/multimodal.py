@@ -408,6 +408,122 @@ def video_metadata(media: DataFrame, strict: bool = False, decode=None) -> DataF
     )
 
 
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sha256", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("bits_per_sample", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("format", StringType(), True),
+    ]
+)
+
+
+def parse_wav_fmt(data: bytes) -> tuple[int, int, int, int] | None:
+    """TRUE (sample_rate, channels, bits_per_sample, duration_ms) from a
+    WAV's RIFF chunks — pure Python, no audio library (RIFF spec: 12-byte
+    RIFF/WAVE header, then chunks of id(4) size(4, little-endian); the
+    ``fmt `` chunk carries format(2) channels(2) sample_rate(4)
+    byte_rate(4) block_align(2) bits(2), and duration derives from the
+    ``data`` chunk's size over byte_rate). Chunks are padded to even
+    offsets. Returns None for non-WAV or truncated/corrupt chunk walks,
+    so callers fall through to their codec/stub path."""
+    data = data or b""
+    n = len(data)
+    if n < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    data_size = None
+    while i + 8 <= n:
+        cid = data[i : i + 4]
+        size = int.from_bytes(data[i + 4 : i + 8], "little")
+        body = i + 8
+        if cid == b"fmt " and size >= 16 and body + 16 <= n:
+            channels = int.from_bytes(data[body + 2 : body + 4], "little")
+            sample_rate = int.from_bytes(data[body + 4 : body + 8], "little")
+            byte_rate = int.from_bytes(data[body + 8 : body + 12], "little")
+            bits = int.from_bytes(data[body + 14 : body + 16], "little")
+            if channels and sample_rate and byte_rate:
+                fmt = (sample_rate, channels, bits, byte_rate)
+        elif cid == b"data":
+            data_size = size
+        i = body + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data_size is None:
+        return None
+    sample_rate, channels, bits, byte_rate = fmt
+    return (sample_rate, channels, bits, int(data_size * 1000 // byte_rate))
+
+
+def _decode_audio_stub(payload: bytes, strict: bool) -> tuple[int, int, int, int, str]:
+    """No-codec audio decode: WAV headers parse for REAL metadata (pure
+    Python, ``parse_wav_fmt``); anything else falls back to the
+    deterministic stub — or NotImplementedError under ``strict``."""
+    meta = parse_wav_fmt(payload or b"")
+    if meta is not None:
+        return (*meta, "wav")
+    if strict:
+        raise NotImplementedError(
+            "audio decode beyond WAV/RIFF headers requires a real audio "
+            "library, not present in this container"
+        )
+    h = hashlib.sha256(payload or b"").digest()
+    return (
+        [8000, 16000, 22050, 44100][h[0] % 4],
+        1 + h[1] % 2,
+        [8, 16, 24][h[2] % 3],
+        200 + int.from_bytes(h[3:5], "big") % 60000,
+        ["wav", "mp3", "flac"][h[5] % 3],
+    )
+
+
+def audio_metadata(media: DataFrame, strict: bool = False, decode=None) -> DataFrame:
+    """Inspect audio payloads → typed metadata, via Arrow-batched
+    mapInPandas (same narrow no-shuffle shape as ``image_metadata`` /
+    ``video_metadata``; the modality family is symmetric). ``decode``:
+    dependency-injected ``callable(bytes) -> (sample_rate, channels,
+    bits_per_sample, duration_ms, format)``; when omitted, WAV parses
+    codec-free and everything else is the deterministic stub — or
+    NotImplementedError under ``strict`` (stub-path contract only)."""
+    if strict and decode is not None:
+        raise ValueError(
+            "strict=True is the no-codec contract (raise instead of fake "
+            "metadata); it cannot combine with an injected decode callable"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                if decode is not None:
+                    rate, ch, bits, dur, fmt = decode(data)
+                else:
+                    rate, ch, bits, dur, fmt = _decode_audio_stub(data, strict)
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "sha256": hashlib.sha256(data).hexdigest(),
+                        "n_bytes": len(data),
+                        "sample_rate": rate,
+                        "channels": ch,
+                        "bits_per_sample": bits,
+                        "duration_ms": dur,
+                        "format": fmt,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields]
+            )
+
+    return media.where(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
+        batches, AUDIO_META_SCHEMA
+    )
+
+
 FRAME_SAMPLE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -545,13 +661,37 @@ def mp4_fixture_bytes(width: int, height: int, version: int = 0) -> bytes:
     return ftyp + moov + box(b"mdat", bytes(16))
 
 
+def wav_fixture_bytes(
+    sample_rate: int, channels: int, n_frames: int, bits: int = 16
+) -> bytes:
+    """Minimal real WAV: RIFF/WAVE header, canonical 16-byte ``fmt ``
+    chunk, and a zero-filled ``data`` chunk of ``n_frames`` sample
+    frames — every size field correct, so duration_ms is exact from
+    construction parameters (n_frames * 1000 // sample_rate)."""
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data_size = n_frames * block_align
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    data = b"data" + data_size.to_bytes(4, "little") + bytes(data_size)
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def synthetic_media(spark, n: int = 32) -> DataFrame:
     """Deterministic fake media table for tests/benchmarks. Image rows
     cycle real-PNG (i%9==0), real-JPEG (i%9==3, progressive every other)
     and opaque stub payloads; video rows cycle real-MP4 (i%9==5, tkhd
-    version 1 every other) and opaque stubs — so every codec-free
-    header parser AND the deterministic stubs are all exercised by the
-    same table."""
+    version 1 every other) and opaque stubs; audio rows cycle real-WAV
+    (i%9==7) and opaque stubs — so every codec-free header parser AND
+    the deterministic stubs are all exercised by the same table."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -564,6 +704,9 @@ def synthetic_media(spark, n: int = 32) -> DataFrame:
         elif kind == "video" and i % 9 == 5:
             payload = mp4_fixture_bytes(64 + i, 36 + i, version=(1 if i % 18 == 14 else 0))
             mime = "video/mp4"
+        elif kind == "audio" and i % 9 == 7:
+            payload = wav_fixture_bytes(8000 * (1 + i % 3), 1 + i % 2, 400 + 40 * i)
+            mime = "audio/wav"
         else:
             payload = hashlib.sha256(str(i).encode()).digest() * (4 + i % 5)
             mime = f"application/x-{kind}"

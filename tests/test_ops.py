@@ -681,6 +681,50 @@ def test_multimodal_mp4_tkhd_true_dimensions(spark):
         video_metadata(media, strict=True).collect()
 
 
+def test_multimodal_wav_true_metadata(spark):
+    """WAV payloads report their TRUE sample rate / channels / bits /
+    duration codec-free (pure-Python RIFF chunk walk — completes the
+    modality family: every kind in the media table now has a metadata
+    operator with at least one real header parser): canonical fmt+data
+    chunks, odd-size chunk padding honored; truncated/garbage payloads
+    fall back to the stub — all through the real mapInPandas operator."""
+    from kgpipe.ops.multimodal import (
+        audio_metadata,
+        parse_wav_fmt,
+        wav_fixture_bytes,
+    )
+
+    wav = wav_fixture_bytes(16000, 2, 8000)  # 8000 frames @16kHz = 500ms
+    assert parse_wav_fmt(wav) == (16000, 2, 16, 500)
+    mono8k = wav_fixture_bytes(8000, 1, 400)
+    assert parse_wav_fmt(mono8k) == (8000, 1, 16, 50)
+    assert parse_wav_fmt(wav[:20]) is None            # truncated in fmt
+    assert parse_wav_fmt(b"RIFF\x04\x00\x00\x00WAVE") is None  # no chunks
+    assert parse_wav_fmt(b"OggS not a wav") is None
+    assert parse_wav_fmt(b"") is None
+
+    rows = [
+        (1, "audio", bytearray(wav), "audio/wav"),
+        (2, "audio", bytearray(mono8k), "audio/wav"),
+        (3, "audio", bytearray(b"opaque mp3-ish bytes"), "audio/mpeg"),
+        (4, "video", bytearray(b"not an audio row"), "video/mp4"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    meta = {m.media_id: m for m in audio_metadata(media).collect()}
+    assert set(meta) == {1, 2, 3}  # video rows excluded
+    assert (meta[1].sample_rate, meta[1].channels, meta[1].duration_ms, meta[1].format) == (
+        16000, 2, 500, "wav",
+    )
+    assert (meta[2].sample_rate, meta[2].channels) == (8000, 1)
+    assert meta[3].format in ("wav", "mp3", "flac")  # deterministic stub
+    # strict: WAV still parses (real metadata); stub-only raises
+    wav_only = spark.createDataFrame(rows[:2], MEDIA_SCHEMA)
+    strict_meta = {m.media_id: m for m in audio_metadata(wav_only, strict=True).collect()}
+    assert strict_meta[1].duration_ms == 500
+    with pytest.raises(Exception, match="NotImplementedError|audio decode"):
+        audio_metadata(media, strict=True).collect()
+
+
 def test_multimodal_injected_codec(spark):
     """Dependency-injected codecs: a deployment with PIL/ffmpeg wires its
     decoder in via the ``decode`` parameter — the operator plumbing
