@@ -127,6 +127,25 @@ def triples_view(edges_canonical: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def _variant_edges_of(hz_valid: DataFrame) -> DataFrame:
+    """Variant-of alias edges from a (checkpointed) hz_valid frame — the
+    only input the canonicalization mapping needs. Factored out so the
+    mapping job can launch CONCURRENTLY with the terms parse barrier
+    (both derive from independent checkpoints; the mapping's collect is
+    a small job that hides entirely under the terms barrier's wall)."""
+    variants = hz_valid.select(
+        F.col("basic_info.data.character").alias("src_name"),
+        F.explode(F.col("basic_info.data.variant_characters")).alias("v"),
+        F.col("path").alias("lineage"),
+    ).select(
+        "src_name",
+        F.col("v.character").alias("mention"),
+        F.lit("variant-of").alias("rel_type"),
+        "lineage",
+    )
+    return T.undirected_by_name(variants, "Hanzi")
+
+
 def _family(corpus: DataFrame, prefix: str) -> DataFrame:
     # at scale `path` family is the corpus partition column → partition pruning
     return corpus.where(F.col("path").startswith(prefix + "/"))
@@ -262,7 +281,20 @@ def build_graph(
         with ThreadPoolExecutor(max_workers=2) as pool:
             f_terms = pool.submit(lambda: terms.localCheckpoint(eager=True))
             f_hz = pool.submit(lambda: hz_valid.localCheckpoint(eager=True))
-            terms, hz_valid = f_terms.result(), f_hz.result()
+            hz_valid = f_hz.result()
+            # the canonicalization mapping needs only the (tiny) hz
+            # barrier: launch its collect+election NOW so the whole
+            # mapping phase hides under the still-running terms barrier
+            # — same frame derivation as the main-path variant_edges
+            # below (both read the checkpointed hz_valid), so the
+            # mapping is byte-identical to the sequential order
+            # (test_mapping_overlap_equals_sequential)
+            f_mapping = pool.submit(
+                lambda: canonical_mapping(_variant_edges_of(hz_valid))
+            )
+            terms = f_terms.result()
+    else:
+        f_mapping = None
     hz_errors = hz.where(
         F.col("error").isNotNull() | F.col("basic_info.data.character").isNull()
     ).select(
@@ -488,8 +520,13 @@ def build_graph(
     # but the collect job runs only the tiny variants lineage off the
     # hz_valid barrier, never the 7-family union. nodes NOT passed: the
     # election's name lookup derives from the variant edges themselves,
-    # keeping the node pipeline off the flagship path.
-    mapping = canonical_mapping(variant_edges)
+    # keeping the node pipeline off the flagship path. On the cached
+    # path the mapping job was launched inside the barrier pool (it
+    # depends only on the hz checkpoint) and has been running under the
+    # terms barrier — collect its result here.
+    mapping = (
+        f_mapping.result() if f_mapping is not None else canonical_mapping(variant_edges)
+    )
     if mapping is None:  # no alias graph: canonicalization is the identity
         edges_canonical = edges
         # name-level distinct subsumes the id-level dedup → one fused
