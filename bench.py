@@ -143,11 +143,15 @@ def main() -> None:
     # run-to-run noise to a single sample); each round starts from a clean
     # block store (input cache excepted)
     kg_rounds = []
+    kg_phases = []  # (build_sec, triples_sec) per round: where the wall goes
     for _ in range(2):
         t0 = time.time()
         g = build_graph(spark, cdf, sdf)
+        t1 = time.time()
         n_triples = _force(g.triples)
-        kg_rounds.append(round(time.time() - t0, 3))
+        t2 = time.time()
+        kg_rounds.append(round(t2 - t0, 3))
+        kg_phases.append([round(t1 - t0, 3), round(t2 - t1, 3)])
         gc.collect()
         _free_cached(sc, input_rdds)
     kg_sec = min(kg_rounds)
@@ -216,6 +220,9 @@ def main() -> None:
         # comparisons can tell which protocol produced each figure
         "runs_per_query": 2,
         "kg_rounds": kg_rounds,
+        # per-round [build_graph (parse barriers + overlapped mapping),
+        # fused triples job] — the two phases future perf work targets
+        "kg_phase_split": kg_phases,
         "raw_timings": raw_timings,
         "term_slice_chromed": _bench_term_slice_chromed(),
     }
