@@ -89,6 +89,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("KGPIPE_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # call-site capture for enriched JVM errors costs ~3 driver
+        # round-trips PER DataFrame API call (getActiveSession +
+        # stack-depth conf.get + PySparkCurrentOrigin.set — the Spark 4
+        # knob exists exactly for this); a kg round issues ~670 wrapped
+        # calls, so this is ~2k of the ~5.4k py4j round-trips in the
+        # measured ~1.8s serial plan-construction floor. Diagnostic
+        # enrichment only — errors still raise, without Python call-site
+        # lines. Cached at first wrapped call, so it must be set at
+        # session build; override via extra_conf to debug.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
