@@ -685,13 +685,39 @@ def wav_fixture_bytes(
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+def gif_fixture_bytes(width: int, height: int) -> bytes:
+    """Minimal real GIF89a: signature + Logical Screen Descriptor (two
+    little-endian uint16 dimensions) + trailer."""
+    return (
+        b"GIF89a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + bytes([0x00, 0x00, 0x00])  # flags / bg index / aspect
+        + b"\x3b"  # trailer
+    )
+
+
+def webp_fixture_bytes(width: int, height: int) -> bytes:
+    """Minimal real WebP (VP8L lossless layout): RIFF/WEBP header + a
+    VP8L chunk whose 0x2F signature byte is followed by the packed
+    14-bit width-1 / height-1 fields."""
+    bits = ((width - 1) & 0x3FFF) | (((height - 1) & 0x3FFF) << 14)
+    # pad past the 30-byte floor parse_webp_header requires of any WebP
+    # (real VP8L streams carry image data here)
+    payload = b"\x2f" + bits.to_bytes(4, "little") + bytes(8)
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    body = b"WEBP" + chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def synthetic_media(spark, n: int = 32) -> DataFrame:
     """Deterministic fake media table for tests/benchmarks. Image rows
-    cycle real-PNG (i%9==0), real-JPEG (i%9==3, progressive every other)
-    and opaque stub payloads; video rows cycle real-MP4 (i%9==5, tkhd
-    version 1 every other) and opaque stubs; audio rows cycle real-WAV
-    (i%9==7) and opaque stubs — so every codec-free header parser AND
-    the deterministic stubs are all exercised by the same table."""
+    cycle real-PNG (i%9==0), real-JPEG (i%9==3, progressive every
+    other), real-GIF (i%27==6), real-WebP (i%27==15) and an opaque stub
+    (i%27==24); video rows cycle real-MP4 (i%9==5, tkhd version 1 every
+    other) and opaque stubs; audio rows cycle real-WAV (i%9==7) and
+    opaque stubs — so every codec-free header parser AND the
+    deterministic stubs are all exercised by the same table."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -701,6 +727,12 @@ def synthetic_media(spark, n: int = 32) -> DataFrame:
         elif kind == "image" and i % 9 == 3:
             payload = jpeg_fixture_bytes(32 + i, 18 + i, progressive=(i % 18 == 12))
             mime = "image/jpeg"
+        elif kind == "image" and i % 27 == 6:
+            payload = gif_fixture_bytes(20 + i, 11 + i)
+            mime = "image/gif"
+        elif kind == "image" and i % 27 == 15:
+            payload = webp_fixture_bytes(24 + i, 13 + i)
+            mime = "image/webp"
         elif kind == "video" and i % 9 == 5:
             payload = mp4_fixture_bytes(64 + i, 36 + i, version=(1 if i % 18 == 14 else 0))
             mime = "video/mp4"

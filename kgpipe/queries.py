@@ -1549,9 +1549,11 @@ def _multimodal_image_meta_oracle() -> str:
 
     rows = []
     from kgpipe.ops.multimodal import (
+        gif_fixture_bytes,
         jpeg_fixture_bytes,
         mp4_fixture_bytes,
         png_fixture_bytes,
+        webp_fixture_bytes,
     )
 
     for i in range(_MM_N):
@@ -1568,6 +1570,10 @@ def _multimodal_image_meta_oracle() -> str:
             elif i % 9 == 3:
                 payload = jpeg_fixture_bytes(32 + i, 18 + i, progressive=(i % 18 == 12))
                 w, ht, fmt = 32 + i, 18 + i, "jpeg"
+            elif i % 27 == 6:
+                payload, w, ht, fmt = gif_fixture_bytes(20 + i, 11 + i), 20 + i, 11 + i, "gif"
+            elif i % 27 == 15:
+                payload, w, ht, fmt = webp_fixture_bytes(24 + i, 13 + i), 24 + i, 13 + i, "webp"
             else:
                 payload = hashlib.sha256(str(i).encode()).digest() * (4 + i % 5)
                 h = hashlib.sha256(payload).digest()

@@ -595,9 +595,10 @@ def test_multimodal_gif_webp_true_dimensions(spark):
 
 
 def test_multimodal_strict_raises(spark):
-    # n=7 so a STUB image row (i=6) is present: the real-PNG (i=0) and
-    # real-JPEG (i=3) rows parse codec-free even under strict
-    media = synthetic_media(spark, 7)
+    # n=25 so a STUB image row (i=24) is present: the real-PNG (i%9==0),
+    # real-JPEG (i%9==3), real-GIF (i=6) and real-WebP (i=15) rows all
+    # parse codec-free even under strict
+    media = synthetic_media(spark, 25)
     with pytest.raises(Exception, match="NotImplementedError|image decode"):
         image_metadata(media, strict=True).collect()
 
