@@ -162,23 +162,21 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_banded(
+def _banded_wide(
     docs: DataFrame,
     k: int = 5,
     num_hashes: int = 8,
     bands: int = 4,
     text_col: str = "text",
 ) -> DataFrame:
-    """Row-local banded MinHash: (doc_id, band, bh) with ZERO shuffle.
+    """Row-local banded MinHash, wide layout: (doc_id, bh0..bh{bands-1})
+    with ZERO shuffle — one row per document, one column per band hash.
 
     The signature is a pure per-row function, so it is computed in a
     single ``aggregate`` expression — one pass over the document's
     shingles maintaining the running per-seed minimum, with the banding
     done in the ``finish`` lambda of the same expression (nothing is
-    evaluated twice, nothing leaves the row). This replaces the
-    explode→distinct→groupBy formulation (two wide stages over the
-    |text|-expanded shingle set) for signature computation; the first and
-    only shuffle of the LSH pipeline is now the band-bucket self-join.
+    evaluated twice, nothing leaves the row).
 
     Hash identity with the aggregation path: the bigint family above
     (one md5 base per shingle, arithmetic per seed), band hash =
@@ -186,6 +184,11 @@ def minhash_banded(
     members)) — candidate output is byte-identical to
     minhash_signatures → lsh_candidate_pairs and the DuckDB oracle
     computes the same family with its own hex-literal cast.
+
+    The wide layout (all band hashes on one row) is what lets the pair
+    stage emit each candidate pair exactly once (see
+    ``band_pairs_exactly_once``): a pair's membership in EVERY band is
+    decidable from the two joined rows alone.
     """
     docs = ensure_parallelism(docs)
     rows_per_band = num_hashes // bands
@@ -203,8 +206,8 @@ def minhash_banded(
     )
     mixes = ", ".join(_minhash_mix(j, "h") for j in range(num_hashes))
     merge = f"(acc, h) -> zip_with(acc, array({mixes}), (a, x) -> least(a, x))"
-    band_structs = ", ".join(
-        "named_struct('band', {b}, 'bh', md5(concat_ws('|', {members})))".format(
+    band_fields = ", ".join(
+        "'bh{b}', md5(concat_ws('|', {members}))".format(
             b=b,
             members=", ".join(
                 f"CAST(sig[{b * rows_per_band + r}] AS STRING)"
@@ -213,15 +216,78 @@ def minhash_banded(
         )
         for b in range(bands)
     )
-    banded = F.expr(
+    wide = F.expr(
         f"aggregate({base_expr}, "
         f"array_repeat(CAST(NULL AS BIGINT), {num_hashes}), "
         f"{merge}, "
-        f"sig -> array({band_structs}))"
+        f"sig -> named_struct({band_fields}))"
     )
-    return docs.select(
-        "doc_id", F.explode(banded).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bh")
+    return docs.select("doc_id", wide.alias("_w")).select("doc_id", "_w.*")
+
+
+def minhash_banded(
+    docs: DataFrame,
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Row-local banded MinHash: (doc_id, band, bh) with ZERO shuffle —
+    the long-layout view of ``_banded_wide`` (one explode, still
+    row-local)."""
+    wide = _banded_wide(docs, k=k, num_hashes=num_hashes, bands=bands, text_col=text_col)
+    bb = F.explode(
+        F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"bh{b}").alias("bh"))
+            for b in range(bands)
+        ])
+    ).alias("bb")
+    return wide.select("doc_id", bb).select("doc_id", "bb.band", "bb.bh")
+
+
+def band_pairs_exactly_once(wide: DataFrame, bands: int = 4) -> DataFrame:
+    """Candidate pairs from the wide banded table, each pair emitted
+    EXACTLY once — no distinct pass (round 8, guide §2.4/§2.3).
+
+    The former shape (long banded table → self-join → ``.distinct()``)
+    re-found the same pair in every band where it collides and paid a
+    full extra shuffle + aggregation over the entire candidate-pair set
+    to collapse the duplicates (58M pairs at sf1.0 — by far the largest
+    exchange of the query). Here every row carries ALL band hashes, so
+    the join keeps a pair only in its FIRST matching band (band b
+    requires bh0..bh{b-1} to differ): per-pair emission is unique by
+    construction and the distinct exchange disappears.
+
+    Set equality with the old formulation: pair (a,b) shares band b iff
+    bh_b(a) = bh_b(b); the predicate keeps exactly the minimal such b,
+    which exists iff the pair shares ≥1 band — the same pair set, one
+    row each.
+    """
+    bb = F.explode(
+        F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"bh{b}").alias("bh"))
+            for b in range(bands)
+        ])
+    ).alias("bb")
+    banded = wide.select(
+        "doc_id", *[f"bh{b}" for b in range(bands)], bb
+    ).select("doc_id", *[f"bh{b}" for b in range(bands)], "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    # min-band predicate: this band is the FIRST where the pair collides
+    minband = None
+    for bx in range(bands):
+        c = F.col("a.band") == bx
+        for e in range(bx):
+            c = c & (F.col(f"a.bh{e}") != F.col(f"b.bh{e}"))
+        minband = c if minband is None else (minband | c)
+    return a.join(b, cond & minband).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
@@ -267,8 +333,18 @@ def dedup_minhash_lsh(
     docs: DataFrame, k: int = 5, num_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
     """Full MinHash+LSH near-dup candidate table (row-local signatures —
-    no shuffle before the band-bucket join)."""
-    return band_bucket_pairs(minhash_banded(docs, k=k, num_hashes=num_hashes, bands=bands))
+    no shuffle before the band-bucket join; exactly-once pair emission —
+    no distinct shuffle after it).
+
+    The ``_fanout_barrier`` pins the (tiny: one row per document) wide
+    signature table so the self-join's two sides read it instead of each
+    re-running the shingle/md5 signature pass — guide §5 (persist reused
+    intermediates) + §3.3 (truncate the plan feeding both join inputs).
+    A/B at sf1.0 (50k docs, 58.2M pairs, local[32], noop sink, fresh
+    plan per leg): old shape 9.5–13.1s → this shape 3.3s.
+    """
+    wide = _fanout_barrier(_banded_wide(docs, k=k, num_hashes=num_hashes, bands=bands))
+    return band_pairs_exactly_once(wide, bands=bands)
 
 
 def dedup_clusters(
@@ -291,7 +367,7 @@ def dedup_clusters(
     """
     from kgpipe.canon import connected_components
 
-    pairs = band_bucket_pairs(minhash_banded(docs, k=k, num_hashes=num_hashes, bands=bands))
+    pairs = dedup_minhash_lsh(docs, k=k, num_hashes=num_hashes, bands=bands)
     sc = docs.sparkSession.sparkContext
     comp = connected_components(
         pairs, src="doc_a", dst="doc_b", num_partitions=sc.defaultParallelism
