@@ -1163,6 +1163,17 @@ def _quality_staged(docs: DataFrame, text_col: str, rep_n: int | None):
     the scan for free.
     """
     text = F.col(text_col)
+    # stopword hits as ONE codegen'd regex pass over the raw text instead
+    # of a per-token higher-order filter (lower() + linear array_contains
+    # per token, interpreted — the single largest term of the quality
+    # scan: +1.25s of 2.5s at sf1.0). Equivalence to
+    # size(filter(_toks, t -> array_contains(stops, lower(t)))): every
+    # non-empty token of split(trim(text), '\s+') is a maximal \S+ run of
+    # text, and the lookarounds force a match to cover a full run; (?i)
+    # (ASCII case fold, no UNICODE_CASE) agrees with lower() on the
+    # all-ASCII stopword alphabet. Verified equal on the corpus plus
+    # 3000 randomized whitespace/case-adversarial docs.
+    stop_re = "(?i)(?<![^\\s])(?:" + _EN_STOPWORDS.replace(",", "|") + ")(?![^\\s])"
     stage1 = [
         F.char_length(text).alias("_n_chars"),
         (
@@ -1170,6 +1181,7 @@ def _quality_staged(docs: DataFrame, text_col: str, rep_n: int | None):
             - F.char_length(F.regexp_replace(text, "[\\.,;:!?'\"()]", ""))
         ).alias("_n_punct"),
         F.split(F.trim(text), "\\s+").alias("_toks"),
+        F.regexp_count(text, F.lit(stop_re)).alias("_stop_hits"),
         F.char_length(F.regexp_replace(text, "\\s+", "")).alias("_solid_chars"),
     ]
     if rep_n is not None:
@@ -1179,14 +1191,11 @@ def _quality_staged(docs: DataFrame, text_col: str, rep_n: int | None):
             F.size(F.array_distinct(arr)).alias("_distinct_ngrams"),
         ]
     tokenized = docs.select("doc_id", *stage1)
-    stop_arr = F.split(F.lit(_EN_STOPWORDS), ",")
     stage2 = [
         "_n_chars",
         "_n_punct",
         F.size("_toks").alias("_n_toks"),
-        F.size(
-            F.filter("_toks", lambda t: F.array_contains(stop_arr, F.lower(t)))
-        ).alias("_stop_hits"),
+        "_stop_hits",
         "_solid_chars",
     ]
     if rep_n is not None:

