@@ -25,7 +25,6 @@ Scale notes:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -70,15 +69,40 @@ parse_hanzi_full_udf = make_parse_hanzi_udf(ALL_HANZI_SECTIONS)
 UNDIRECTED = ("synonym", "antonym", "variant-of")
 
 
-@dataclass
 class GraphResult:
-    nodes: DataFrame
-    edges: DataFrame
-    edges_canonical: DataFrame
-    triples: DataFrame
-    missing: DataFrame  # seeds with no valid detail page
-    errors: DataFrame  # parse-error pages (key, error)
-    family_counts: dict
+    """Graph-construction result. Members other than ``triples`` may be
+    passed as zero-arg thunks and are then constructed LAZILY on first
+    attribute access (round 8, guide §1.2 "don't compute things you
+    throw away" applied to the DRIVER: plan construction is serial py4j
+    round-trips — ~2.5k per build_graph, ~1.7s measured — and the
+    flagship triples path never reads nodes/edges/edges_canonical/
+    missing/errors, so their plans are now never built there). Attribute
+    writes (e.g. re-pointing ``nodes`` at a checkpointed frame) behave
+    like the old dataclass."""
+
+    _LAZY_FIELDS = ("nodes", "edges", "edges_canonical", "missing", "errors")
+
+    def __init__(self, *, nodes, edges, edges_canonical, triples, missing,
+                 errors, family_counts):
+        self.triples = triples
+        self.family_counts = family_counts
+        self._thunks = {
+            "nodes": nodes,
+            "edges": edges,
+            "edges_canonical": edges_canonical,
+            "missing": missing,
+            "errors": errors,
+        }
+
+    def __getattr__(self, name):
+        thunks = self.__dict__.get("_thunks") or {}
+        if name in thunks:
+            val = thunks.pop(name)
+            if callable(val):
+                val = val()
+            setattr(self, name, val)
+            return val
+        raise AttributeError(name)
 
 
 def _rewrite_canonical(edges: DataFrame, nodes: DataFrame = None) -> DataFrame | None:
@@ -295,40 +319,18 @@ def build_graph(
             terms = f_terms.result()
     else:
         f_mapping = None
-    hz_errors = hz.where(
-        F.col("error").isNotNull() | F.col("basic_info.data.character").isNull()
-    ).select(
-        F.lit(run_id).alias("run_id"),
-        F.lit("zidian").alias("partition_key"),
-        F.col("path").alias("key"),
-        F.coalesce(F.col("error"), F.col("basic_info.error")).alias("error"),
-    )
+    def _make_errors() -> DataFrame:
+        return hz.where(
+            F.col("error").isNotNull() | F.col("basic_info.data.character").isNull()
+        ).select(
+            F.lit(run_id).alias("run_id"),
+            F.lit("zidian").alias("partition_key"),
+            F.col("path").alias("key"),
+            F.coalesce(F.col("error"), F.col("basic_info.error")).alias("error"),
+        )
 
-    # ---- crawled node frames (stub endpoints are minted below, after the
-    # edge families they derive from) --------------------------------------
-    term_nodes = terms.select(
-        node_id("entity_type", "name").alias("node_id"),
-        "entity_type",
-        "name",
-        F.col("path").alias("url"),
-        "properties",
-        F.lit(True).alias("crawled"),
-    )
     mentions = L.extract_mentions(
         terms, "name", "synonyms", "antonyms", carry_cols=("entity_type",)
-    )
-    # node properties: basic_info only on the hot path; every parsed
-    # section in full-fidelity mode (the reference's section blobs,
-    # hanyuguoxue.py:1411-1439)
-    prop_sections = hanzi_sections if full_hanzi_properties else ("basic_info",)
-    prop_cols = [F.col(s) for s in prop_sections] + [F.col("unicode_decimal")]
-    hanzi_nodes = hz_valid.select(
-        node_id(F.lit("Hanzi"), F.col("basic_info.data.character")).alias("node_id"),
-        F.lit("Hanzi").alias("entity_type"),
-        F.col("basic_info.data.character").alias("name"),
-        F.col("path").alias("url"),
-        F.to_json(F.struct(*prop_cols)).alias("properties"),
-        F.lit(True).alias("crawled"),
     )
 
     # ---- edges ---------------------------------------------------------------
@@ -435,57 +437,82 @@ def build_graph(
         T.directed(idiom_trans, "Idiom", "src_name", "Translation", "trans", "translation-of")
     )
 
-    # ---- nodes -------------------------------------------------------------
+    # ---- nodes (LAZY plan construction, round 8) ---------------------------
     # Every edge endpoint gets a node row: crawled pages as full records,
     # everything else (mentions, variant characters, radicals, pinyin and
     # translation literals) as crawled=False stubs — no dangling edge ids
     # (schemas.py entity_type vocabulary: Idiom | Word | Hanzi | Radical |
-    # Pinyin | Translation).
-    def _stub(df: DataFrame, entity_type, name_col: str) -> DataFrame:
-        et = F.lit(entity_type) if isinstance(entity_type, str) else entity_type
-        return df.select(et.alias("entity_type"), F.col(name_col).alias("name"))
-
-    endpoint_stubs = (
-        _stub(mentions, F.col("entity_type"), "mention")
-        .unionByName(_stub(radicals, "Radical", "radical"))
-        .unionByName(
-            _stub(variants.where(F.col("mention") != F.col("src_name")), "Hanzi", "mention")
-        )
-        .unionByName(_stub(hz_pinyin, "Pinyin", "py"))
-        .unionByName(_stub(term_pinyin, "Pinyin", "py"))
-        .unionByName(_stub(hz_trans, "Translation", "trans"))
-        .unionByName(_stub(idiom_trans, "Translation", "trans"))
-        .distinct()
-        .select(
+    # Pinyin | Translation). The whole node-plan construction (~10 selects
+    # + 9 unions + a window) is serial py4j driver work the flagship
+    # triples path never reads, so it is deferred into a GraphResult
+    # thunk and only built when a caller touches g.nodes.
+    def _make_nodes() -> DataFrame:
+        term_nodes = terms.select(
             node_id("entity_type", "name").alias("node_id"),
             "entity_type",
             "name",
-            F.lit(None).cast("string").alias("url"),
-            F.lit(None).cast("string").alias("properties"),
-            F.lit(False).alias("crawled"),
+            F.col("path").alias("url"),
+            "properties",
+            F.lit(True).alias("crawled"),
         )
-    )
+        # node properties: basic_info only on the hot path; every parsed
+        # section in full-fidelity mode (the reference's section blobs,
+        # hanyuguoxue.py:1411-1439)
+        prop_sections = hanzi_sections if full_hanzi_properties else ("basic_info",)
+        prop_cols = [F.col(s) for s in prop_sections] + [F.col("unicode_decimal")]
+        hanzi_nodes = hz_valid.select(
+            node_id(F.lit("Hanzi"), F.col("basic_info.data.character")).alias("node_id"),
+            F.lit("Hanzi").alias("entity_type"),
+            F.col("basic_info.data.character").alias("name"),
+            F.col("path").alias("url"),
+            F.to_json(F.struct(*prop_cols)).alias("properties"),
+            F.lit(True).alias("crawled"),
+        )
 
-    all_nodes = term_nodes.unionByName(endpoint_stubs).unionByName(hanzi_nodes)
-    # upsert semantics: a crawled row replaces a mention-minted stub
-    # (INSERT IGNORE + ON DUP KEY UPDATE — chengyu_mysql.py:162-221);
-    # deterministic winner: crawled first, then lexicographic url.
-    node_w = Window.partitionBy("node_id").orderBy(
-        F.col("crawled").desc(), F.col("url").asc_nulls_last()
-    )
-    nodes = (
-        all_nodes.withColumn("_rn", F.row_number().over(node_w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-        .withColumn("run_id", F.lit(run_id))
-        .withColumn("updated_at", F.current_timestamp())
-    )
-    if cache:
-        # lazy persist (NOT an eager barrier): the flagship triples path
-        # never materializes nodes — canonicalization maps come from the
-        # variant edges alone — so nodes only compute when a caller reads
-        # them (warehouse merge, inspection)
-        nodes = nodes.persist()
+        def _stub(df: DataFrame, entity_type, name_col: str) -> DataFrame:
+            et = F.lit(entity_type) if isinstance(entity_type, str) else entity_type
+            return df.select(et.alias("entity_type"), F.col(name_col).alias("name"))
+
+        endpoint_stubs = (
+            _stub(mentions, F.col("entity_type"), "mention")
+            .unionByName(_stub(radicals, "Radical", "radical"))
+            .unionByName(
+                _stub(variants.where(F.col("mention") != F.col("src_name")), "Hanzi", "mention")
+            )
+            .unionByName(_stub(hz_pinyin, "Pinyin", "py"))
+            .unionByName(_stub(term_pinyin, "Pinyin", "py"))
+            .unionByName(_stub(hz_trans, "Translation", "trans"))
+            .unionByName(_stub(idiom_trans, "Translation", "trans"))
+            .distinct()
+            .select(
+                node_id("entity_type", "name").alias("node_id"),
+                "entity_type",
+                "name",
+                F.lit(None).cast("string").alias("url"),
+                F.lit(None).cast("string").alias("properties"),
+                F.lit(False).alias("crawled"),
+            )
+        )
+
+        all_nodes = term_nodes.unionByName(endpoint_stubs).unionByName(hanzi_nodes)
+        # upsert semantics: a crawled row replaces a mention-minted stub
+        # (INSERT IGNORE + ON DUP KEY UPDATE — chengyu_mysql.py:162-221);
+        # deterministic winner: crawled first, then lexicographic url.
+        node_w = Window.partitionBy("node_id").orderBy(
+            F.col("crawled").desc(), F.col("url").asc_nulls_last()
+        )
+        nodes = (
+            all_nodes.withColumn("_rn", F.row_number().over(node_w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("updated_at", F.current_timestamp())
+        )
+        if cache:
+            # lazy persist (NOT an eager barrier): nodes only compute
+            # when a caller reads them (warehouse merge, inspection)
+            nodes = nodes.persist()
+        return nodes
 
     raw_edges = (
         syn_ant.unionByName(composed)
@@ -495,21 +522,26 @@ def build_graph(
         .unionByName(term_pinyin_edges)
         .unionByName(trans_edges)
     )
-    edges = (
-        T.dedup_edges(raw_edges)
-        .withColumn("run_id", F.lit(run_id))
-        .drop("lineage")
-    )
-    if cache:
-        # LAZY persist (round 6; was an eager localCheckpoint): the
-        # deduped edge table materializes only when a consumer reads
-        # g.edges — the flagship triples path no longer touches it. The
-        # eager barrier shuffled and wrote the full deduped payload
-        # (~10M rows with properties+lineage at bench scale 9600) before
-        # triples could start: 51s of the 133s local[16] profile, all
-        # shuffle/IO-bound — the single largest NON-scaling term in the
-        # two-cluster-size protocol (tools/profile_kg.py).
-        edges = edges.persist()
+    _edges_memo: list = []
+
+    def _make_edges() -> DataFrame:
+        # LAZY (round 6 made the persist lazy; round 8 defers the PLAN
+        # construction too): the deduped edge table materializes only
+        # when a consumer reads g.edges — the flagship triples path no
+        # longer touches it. The former eager barrier shuffled and wrote
+        # the full deduped payload (~10M rows with properties+lineage at
+        # bench scale 9600) before triples could start: 51s of the 133s
+        # local[16] profile (tools/profile_kg.py).
+        if not _edges_memo:
+            edges = (
+                T.dedup_edges(raw_edges)
+                .withColumn("run_id", F.lit(run_id))
+                .drop("lineage")
+            )
+            if cache:
+                edges = edges.persist()
+            _edges_memo.append(edges)
+        return _edges_memo[0]
 
     # ---- canonicalization (variant-of alias graph → CC) --------------------
     # The mapping derives from the VARIANT FAMILY alone, before the union
@@ -528,16 +560,18 @@ def build_graph(
         f_mapping.result() if f_mapping is not None else canonical_mapping(variant_edges)
     )
     if mapping is None:  # no alias graph: canonicalization is the identity
-        edges_canonical = edges
+        _make_edges_canonical = _make_edges
         # name-level distinct subsumes the id-level dedup → one fused
         # job: family projections → union → distinct, no edge barrier
         triples = triples_view(raw_edges)
     else:
-        edges_canonical = T.dedup_edges(
-            apply_canonicalization(edges, mapping).withColumn(
-                "lineage", F.col("src_name")
-            )
-        ).drop("lineage")
+        def _make_edges_canonical() -> DataFrame:
+            return T.dedup_edges(
+                apply_canonicalization(_make_edges(), mapping).withColumn(
+                    "lineage", F.col("src_name")
+                )
+            ).drop("lineage")
+
         # the name-level distinct in triples_view subsumes BOTH id-level
         # dedups (they only remove duplicate (src, dst, rel) rows), so
         # the flagship triples path rewrites the RAW family union through
@@ -553,9 +587,10 @@ def build_graph(
             )
         )
 
-    missing = idiom_missing.withColumn("entity_type", F.lit("Idiom")).unionByName(
-        word_missing.withColumn("entity_type", F.lit("Word"))
-    )
+    def _make_missing() -> DataFrame:
+        return idiom_missing.withColumn("entity_type", F.lit("Idiom")).unionByName(
+            word_missing.withColumn("entity_type", F.lit("Word"))
+        )
 
     # lazy: each count is a job; callers that don't need metrics pay nothing
     class _LazyCounts(dict):
@@ -576,11 +611,11 @@ def build_graph(
     family_counts = _LazyCounts()
 
     return GraphResult(
-        nodes=nodes,
-        edges=edges,
-        edges_canonical=edges_canonical,
+        nodes=_make_nodes,
+        edges=_make_edges,
+        edges_canonical=_make_edges_canonical,
         triples=triples,
-        missing=missing,
-        errors=hz_errors,
+        missing=_make_missing,
+        errors=_make_errors,
         family_counts=family_counts,
     )
