@@ -86,11 +86,12 @@ def connected_components(
 #: graph is bounded by the character universe (~90k even at full CJK
 #: coverage, a few MB), while the DataFrame loop costs ~2 driver-side plan
 #: compilations + jobs per iteration — pure serial overhead at any scale.
-#: The collect is IDS-ONLY (two longs per edge — names never cross the
-#: driver): 1M edges measured at ~334 MB driver RSS (Row objects; the
-#: 4-column named collect it replaced measured ~560 MB on short synthetic
-#: names — see BENCH.md round-5 note), well inside any production driver
-#: heap and freed as soon as the union-find result uploads.
+#: The probe collects (src_id, dst_id) on the nodes-supplied path and
+#: (src_id, dst_id, src_name, dst_name) on the edge-derived path (the
+#: names feed the driver-side election): 1M edges measured ~334 MB driver
+#: RSS ids-only and ~560 MB with short names (BENCH.md round-5 note) —
+#: both inside any production driver heap and freed as soon as the
+#: union-find result uploads. The threshold is sized for the NAMED shape.
 DRIVER_CC_MAX_EDGES = 1_000_000
 
 

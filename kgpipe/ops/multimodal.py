@@ -116,7 +116,11 @@ def parse_jpeg_sof(data: bytes) -> tuple[int, int] | None:
         if seg_len < 2:
             return None
         if marker in _JPEG_SOF_MARKERS:
-            if i + 7 > n:
+            # the declared segment must actually contain the dimension
+            # fields (len 2 + precision 1 + height 2 + width 2 = 7); a
+            # malformed SOF with a shorter declared length would otherwise
+            # read "dimensions" out of the following segment's bytes
+            if seg_len < 7 or i + 7 > n:
                 return None
             height = int.from_bytes(data[i + 3 : i + 5], "big")
             width = int.from_bytes(data[i + 5 : i + 7], "big")
@@ -455,7 +459,14 @@ def parse_wav_fmt(data: bytes) -> tuple[int, int, int, int] | None:
     if fmt is None or data_size is None:
         return None
     sample_rate, channels, bits, byte_rate = fmt
-    return (sample_rate, channels, bits, int(data_size * 1000 // byte_rate))
+    duration_ms = int(data_size * 1000 // byte_rate)
+    # an adversarial/corrupt header (huge declared data size, tiny
+    # byte_rate) can push duration past int32, which would fail the Arrow
+    # conversion against AUDIO_META_SCHEMA at runtime instead of falling
+    # back to the stub — treat it as unparseable here
+    if duration_ms > 2**31 - 1:
+        return None
+    return (sample_rate, channels, bits, duration_ms)
 
 
 def _decode_audio_stub(payload: bytes, strict: bool) -> tuple[int, int, int, int, str]:

@@ -622,6 +622,10 @@ def test_multimodal_jpeg_sof_true_dimensions(spark):
     assert parse_jpeg_sof(b"\xff\xd8\xff\xda\x00\x04ab") is None  # SOS first
     assert parse_jpeg_sof(b"GIF89a not a jpeg") is None
     assert parse_jpeg_sof(b"") is None
+    # SOF whose DECLARED length is too short to hold the dimension fields
+    # must not read "dimensions" from the following segment's bytes
+    short_sof = b"\xff\xd8\xff\xc0\x00\x04\x08" + b"\x12\x34\x56\x78\xff\xd9"
+    assert parse_jpeg_sof(short_sof) is None
 
     rows = [
         (1, "image", bytearray(base), "image/jpeg"),
@@ -703,6 +707,15 @@ def test_multimodal_wav_true_metadata(spark):
     assert parse_wav_fmt(b"RIFF\x04\x00\x00\x00WAVE") is None  # no chunks
     assert parse_wav_fmt(b"OggS not a wav") is None
     assert parse_wav_fmt(b"") is None
+    # corrupt header: huge declared data size over a tiny byte_rate pushes
+    # duration_ms past int32 — must fall back to the stub, not blow up the
+    # Arrow conversion against AUDIO_META_SCHEMA's IntegerType
+    evil = bytearray(wav_fixture_bytes(16000, 2, 8000))
+    di = evil.find(b"data")
+    evil[di + 4 : di + 8] = (0xFFFFFFFF).to_bytes(4, "little")
+    bi = evil.find(b"fmt ") + 8 + 8
+    evil[bi : bi + 4] = (1).to_bytes(4, "little")  # byte_rate = 1
+    assert parse_wav_fmt(bytes(evil)) is None
 
     rows = [
         (1, "audio", bytearray(wav), "audio/wav"),
