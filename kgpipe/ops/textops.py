@@ -1132,6 +1132,9 @@ _EN_STOPWORDS = "the,of,and,to,in,a,is,that,it,for,on,with,as,was,at,by,an,be,th
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """N-gram-free heuristic language id: CJK character share vs an
     English stopword share over whitespace tokens."""
+    # single-split input fan-out (see _quality_staged): 2.15s → 0.54s at
+    # sf1.0; no-op when the source already has ≥cores splits
+    docs = ensure_parallelism(docs)
     total_chars = F.char_length(F.col(text_col))
     cjk_chars = total_chars - F.char_length(
         F.regexp_replace(F.col(text_col), "[\\u4e00-\\u9fff]", "")
@@ -1162,6 +1165,15 @@ def _quality_staged(docs: DataFrame, text_col: str, rep_n: int | None):
     second full corpus scan: both signals are row-local, so they share
     the scan for free.
     """
+    # fan a narrow single-split input out to cluster parallelism: the
+    # documents table at bench scale is one parquet row group, so the
+    # whole per-row feature computation otherwise runs in ONE task
+    # (measured: quality 1.88s single-task → 0.67s fanned at sf1.0;
+    # no-op at warehouse scale where splits ≫ cores). Adopted here and in
+    # language_id only — fingerprint/token_counts/dedup_exact measured
+    # SLOWER fanned (their per-row regex work is too small to amortize
+    # the shuffle + per-task-cold codegen, A/B in OPTIMIZATION_r08.md).
+    docs = ensure_parallelism(docs)
     text = F.col(text_col)
     # stopword hits as ONE codegen'd regex pass over the raw text instead
     # of a per-token higher-order filter (lower() + linear array_contains
