@@ -41,6 +41,29 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (1, 4) not in pairs and (1, 5) not in pairs
 
 
+def test_minhash_arrow_signatures_equal_expr(spark):
+    """The mapInArrow signature path (hashlib/numpy) must be
+    byte-identical to the JVM expression formulation — the in-repo
+    equality oracle for the round-8 swap, over adversarial shapes:
+    empty/whitespace text, shorter-than-k text, NULL text, CJK,
+    supplementary-plane code points, repeated shingles."""
+    rows = [
+        (1, "hello world hello world common text"),
+        (2, ""),
+        (3, "    "),
+        (4, "ab"),
+        (5, None),
+        (6, "汉字测试汉字测试汉字"),
+        (7, "emoji \U0001F600\U0001F601 mixed 文本 body"),
+        (8, "aaaaaaaaaaaaaaaaaaaaaa"),
+        (9, "hello world hello world common text"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = sorted(map(tuple, textops._banded_wide(d).collect()))
+    expr = sorted(map(tuple, textops._banded_wide_expr(d).collect()))
+    assert arrow == expr
+
+
 def test_ngram_jaccard(docs, spark):
     pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long")
     j = {(r.doc_a, r.doc_b): r.jaccard for r in textops.ngram_jaccard(docs, pairs).collect()}
