@@ -55,6 +55,7 @@ ALL_FIELDS = (
 #: what the KG triple derivation reads (pipeline.py _term_frame):
 #: name, pinyin, the two mention lists, and the translation string
 HOT_FIELDS = ("chengyu", "pinyin", "synonyms", "antonyms", "translation")
+_HOT_FSET = frozenset(HOT_FIELDS)
 
 #: field → the doc-level query-surface hazard that serves it
 #: (CHENGYU_SURFACE keys; slicing keeps exactly the regions these touch)
@@ -82,9 +83,25 @@ def parse_chengyu_html(
     url: Optional[str] = None,
     slice_input: bool = True,
     fields: Optional[tuple] = None,
+    fast: bool = True,
 ) -> dict:
     fset = frozenset(ALL_FIELDS if fields is None else fields)
     try:
+        if fast and fset == _HOT_FSET:
+            # guarded flat-scan extraction of exactly the HOT fields,
+            # attempted on the RAW page BEFORE slicing (the flat scan is
+            # one regex pass, cheaper than the slicer itself; the slicer
+            # only pays off for the DOM path). Returns None on any page
+            # it cannot prove simple → the normal slice+DOM path below.
+            # Field semantics mirrored and fuzz-pinned
+            # (kgpipe/parse/fastterm.py, tests/test_fastterm.py);
+            # fast(raw) == DOM(raw) == DOM(sliced) by the slicer's own
+            # soundness contract.
+            from kgpipe.parse.fastterm import fast_hot_chengyu
+
+            data = fast_hot_chengyu(html)
+            if data is not None:
+                return {"url": url, "data": data}
         sliced = (
             slice_term_page(html, CHENGYU_SURFACE, _wanted_hazards(fset))
             if slice_input

@@ -41,6 +41,7 @@ ALL_FIELDS = (
 
 #: what the KG triple derivation reads (pipeline.py _term_frame)
 HOT_FIELDS = ("word", "pinyin", "synonyms", "antonyms")
+_HOT_FSET = frozenset(HOT_FIELDS)
 
 _FIELD_HAZARDS = {
     "word": ("ci-title",),
@@ -73,9 +74,18 @@ def parse_ciyu_html(
     url: Optional[str] = None,
     slice_input: bool = True,
     fields: Optional[tuple] = None,
+    fast: bool = True,
 ) -> dict:
     fset = frozenset(ALL_FIELDS if fields is None else fields)
     try:
+        if fast and fset == _HOT_FSET:
+            # guarded flat-scan extraction on the RAW page before
+            # slicing (see chengyu.py twin / fastterm.py)
+            from kgpipe.parse.fastterm import fast_hot_ciyu
+
+            data = fast_hot_ciyu(html)
+            if data is not None:
+                return {"url": url, "data": data}
         sliced = (
             slice_term_page(
                 html, CIYU_SURFACE, _wanted_hazards(fset), keep_tail=CIYU_KEEP_TAIL
