@@ -292,33 +292,36 @@ def build_graph(
         # in full-fidelity mode, basic+fanyi on the hot path)
         "path", "unicode_decimal", *hanzi_sections
     )
+    _barrier_pool = None
+    f_terms = f_hz = f_mapping = None
     if cache:
-        # eager localCheckpoint: seven edge families fan out from `terms`
-        # and `hz_valid`; a cold cache would let concurrent branches
-        # recompute the parse+linkage lineage, and the un-truncated lineage
-        # (deep nested parse structs) makes every downstream plan
-        # compilation pay the full analysis cost on the driver.
-        # Checkpointing pins the data once AND flattens the plan; the two
-        # independent barriers run as concurrent Spark jobs.
+        # localCheckpoint barriers: seven edge families fan out from
+        # `terms` and `hz_valid`; a cold cache would let concurrent
+        # branches recompute the parse+linkage lineage, and the
+        # un-truncated lineage (deep nested parse structs) makes every
+        # downstream plan compilation pay the full analysis cost on the
+        # driver. The checkpoint call itself truncates the plan to a
+        # LogicalRDD immediately (eager=False defers only the DATA
+        # materialization), so — round 8 — the barriers materialize in
+        # background threads while the MAIN thread constructs every
+        # downstream plan (mentions, 7 edge families, rewrite, triples:
+        # ~0.7s of serial py4j round-trips that previously ran after the
+        # barrier wall). Concurrent jobs over a not-yet-materialized
+        # localCheckpoint RDD are safe: block-level locks make one task
+        # compute a partition and the others wait. The mapping job
+        # (collect + driver election) launches alongside and is
+        # byte-identical to the sequential order
+        # (test_mapping_overlap_equals_sequential).
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_terms = pool.submit(lambda: terms.localCheckpoint(eager=True))
-            f_hz = pool.submit(lambda: hz_valid.localCheckpoint(eager=True))
-            hz_valid = f_hz.result()
-            # the canonicalization mapping needs only the (tiny) hz
-            # barrier: launch its collect+election NOW so the whole
-            # mapping phase hides under the still-running terms barrier
-            # — same frame derivation as the main-path variant_edges
-            # below (both read the checkpointed hz_valid), so the
-            # mapping is byte-identical to the sequential order
-            # (test_mapping_overlap_equals_sequential)
-            f_mapping = pool.submit(
-                lambda: canonical_mapping(_variant_edges_of(hz_valid))
-            )
-            terms = f_terms.result()
-    else:
-        f_mapping = None
+        terms = terms.localCheckpoint(eager=False)
+        hz_valid = hz_valid.localCheckpoint(eager=False)
+        _barrier_pool = ThreadPoolExecutor(max_workers=3)
+        f_terms = _barrier_pool.submit(terms.count)
+        f_hz = _barrier_pool.submit(hz_valid.count)
+        f_mapping = _barrier_pool.submit(
+            lambda: canonical_mapping(_variant_edges_of(hz_valid))
+        )
     def _make_errors() -> DataFrame:
         return hz.where(
             F.col("error").isNotNull() | F.col("basic_info.data.character").isNull()
@@ -609,6 +612,14 @@ def build_graph(
             return super().__getitem__(key)
 
     family_counts = _LazyCounts()
+
+    if _barrier_pool is not None:
+        # barrier materialization ran under the plan construction above;
+        # build_graph still returns with both checkpoints materialized
+        # (same contract as the former eager barriers)
+        f_terms.result()
+        f_hz.result()
+        _barrier_pool.shutdown()
 
     return GraphResult(
         nodes=_make_nodes,
