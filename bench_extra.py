@@ -91,9 +91,11 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     stages = sys.argv[1:] or ["minhash"]
     t0 = time.time()
+    dispatch = {"minhash": stage_minhash, "quality": stage_quality,
+                "simhash": stage_quality, "tpch": stage_tpch,
+                "windows": stage_tpch}
     for st in stages:
-        {"minhash": stage_minhash, "quality": stage_quality,
-         "tpch": stage_tpch}[st](spark, sf_dir)
+        dispatch[st](spark, sf_dir)
     print(f"total {time.time() - t0:.1f}s  load={os.getloadavg()[0]:.1f}")
     spark.stop()
 

@@ -460,11 +460,12 @@ def parse_wav_fmt(data: bytes) -> tuple[int, int, int, int] | None:
         return None
     sample_rate, channels, bits, byte_rate = fmt
     duration_ms = int(data_size * 1000 // byte_rate)
-    # an adversarial/corrupt header (huge declared data size, tiny
-    # byte_rate) can push duration past int32, which would fail the Arrow
-    # conversion against AUDIO_META_SCHEMA at runtime instead of falling
-    # back to the stub — treat it as unparseable here
-    if duration_ms > 2**31 - 1:
+    # an adversarial/corrupt header can push any of these past int32
+    # (sample_rate is an unchecked uint32 field; duration from a huge
+    # declared data size over a tiny byte_rate), which would fail the
+    # Arrow conversion against AUDIO_META_SCHEMA's IntegerType at runtime
+    # instead of falling back to the stub — treat it as unparseable here
+    if max(duration_ms, sample_rate, channels, bits) > 2**31 - 1:
         return None
     return (sample_rate, channels, bits, duration_ms)
 

@@ -1,10 +1,11 @@
 """Text dedup / analysis operators over a ``documents(doc_id, text, lang,
 source, n_chars)`` table — native Spark SQL expressions (JVM-side,
-whole-stage-codegen'd) except ONE deliberate Arrow-vectorized pass: the
-MinHash signature computation runs in ``mapInArrow`` handing whole
-batches to hashlib/numpy (guide §4.2), measured ~2x the JVM
-higher-order-lambda formulation it replaced; the expression form is kept
-as its equality oracle. No row-at-a-time Python anywhere (plan-asserted).
+whole-stage-codegen'd) except TWO deliberate Arrow-vectorized passes
+(guide §4.2): the MinHash signature computation and the content
+fingerprint both run in ``mapInArrow`` handing whole batches to
+hashlib/numpy/re — each measured ≥2x the JVM formulation it replaced,
+and each keeps that expression form in-repo as its equality oracle.
+No row-at-a-time Python anywhere (plan-asserted).
 
 Determinism: every operator is a pure function of its input — hashes are
 md5/sha2 (not JVM-partitioning-dependent), survivors are elected by
@@ -244,7 +245,8 @@ def _banded_wide(
                 ["doc_id"] + [f"bh{b}" for b in range(bands)],
             )
 
-    schema = "doc_id long, " + ", ".join(f"bh{b} string" for b in range(bands))
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    schema = f"doc_id {id_type}, " + ", ".join(f"bh{b} string" for b in range(bands))
     return docs.select("doc_id", text_col).mapInArrow(compute, schema)
 
 
@@ -347,7 +349,10 @@ def band_pairs_exactly_once(wide: DataFrame, bands: int = 4) -> DataFrame:
     Set equality with the old formulation: pair (a,b) shares band b iff
     bh_b(a) = bh_b(b); the predicate keeps exactly the minimal such b,
     which exists iff the pair shares ≥1 band — the same pair set, one
-    row each.
+    row each. Precondition (same as every operator over ``documents``):
+    doc_id is the table's key. The retired ``.distinct()`` additionally
+    masked duplicate doc_id input rows; this path, like the oracle,
+    treats duplicate ids as distinct documents that happen to collide.
     """
     bb = F.explode(
         F.array(*[
@@ -1383,8 +1388,9 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 [ids, pa.array(fps, type=pa.string())], ["doc_id", "fingerprint"]
             )
 
+    id_type = docs.schema["doc_id"].dataType.simpleString()
     return docs.select("doc_id", text_col).mapInArrow(
-        compute, "doc_id long, fingerprint string"
+        compute, f"doc_id {id_type}, fingerprint string"
     )
 
 

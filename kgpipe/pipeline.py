@@ -97,9 +97,13 @@ class GraphResult:
     def __getattr__(self, name):
         thunks = self.__dict__.get("_thunks") or {}
         if name in thunks:
-            val = thunks.pop(name)
+            val = thunks[name]
             if callable(val):
+                # invoke BEFORE removing the thunk: a failing build (e.g.
+                # a transient Spark error) stays retryable instead of
+                # turning every later access into a bare AttributeError
                 val = val()
+            del thunks[name]
             setattr(self, name, val)
             return val
         raise AttributeError(name)
@@ -292,8 +296,17 @@ def build_graph(
         # in full-fidelity mode, basic+fanyi on the hot path)
         "path", "unicode_decimal", *hanzi_sections
     )
-    _barrier_pool = None
-    f_terms = f_hz = f_mapping = None
+    _barrier_pool = None  # list of daemon threads; results in _barrier_results
+
+    def _barrier_join(name):
+        for t in _barrier_pool:
+            if t.name == f"kg-barrier-{name}":
+                t.join()
+        status, value = _barrier_results[name]
+        if status == "err":
+            raise value
+        return value
+
     if cache:
         # localCheckpoint barriers: seven edge families fan out from
         # `terms` and `hz_valid`; a cold cache would let concurrent
@@ -309,19 +322,37 @@ def build_graph(
         # barrier wall). Concurrent jobs over a not-yet-materialized
         # localCheckpoint RDD are safe: block-level locks make one task
         # compute a partition and the others wait. The mapping job
-        # (collect + driver election) launches alongside and is
-        # byte-identical to the sequential order
-        # (test_mapping_overlap_equals_sequential).
-        from concurrent.futures import ThreadPoolExecutor
+        # (collect + driver election) launches alongside; it reads the
+        # same checkpointed hz_valid the sequential order would, so the
+        # mapping is identical by construction (its derivation equality
+        # is pinned by test_mapping_from_variant_family_equals_from_dedup
+        # and the golden gate). Daemon threads + an explicit result
+        # holder instead of a ThreadPoolExecutor: if plan construction
+        # below raises, nothing blocks interpreter shutdown and no pool
+        # is leaked — the stray count jobs just finish (or fail) in the
+        # background.
+        import threading
 
         terms = terms.localCheckpoint(eager=False)
         hz_valid = hz_valid.localCheckpoint(eager=False)
-        _barrier_pool = ThreadPoolExecutor(max_workers=3)
-        f_terms = _barrier_pool.submit(terms.count)
-        f_hz = _barrier_pool.submit(hz_valid.count)
-        f_mapping = _barrier_pool.submit(
-            lambda: canonical_mapping(_variant_edges_of(hz_valid))
-        )
+        _barrier_results: dict = {}
+
+        def _spawn(name, fn):
+            def _go():
+                try:
+                    _barrier_results[name] = ("ok", fn())
+                except BaseException as exc:  # re-raised at the join point
+                    _barrier_results[name] = ("err", exc)
+
+            t = threading.Thread(target=_go, name=f"kg-barrier-{name}", daemon=True)
+            t.start()
+            return t
+
+        _barrier_pool = [
+            _spawn("terms", terms.count),
+            _spawn("hz", hz_valid.count),
+            _spawn("mapping", lambda: canonical_mapping(_variant_edges_of(hz_valid))),
+        ]
     def _make_errors() -> DataFrame:
         return hz.where(
             F.col("error").isNotNull() | F.col("basic_info.data.character").isNull()
@@ -560,7 +591,7 @@ def build_graph(
     # depends only on the hz checkpoint) and has been running under the
     # terms barrier — collect its result here.
     mapping = (
-        f_mapping.result() if f_mapping is not None else canonical_mapping(variant_edges)
+        _barrier_join("mapping") if _barrier_pool is not None else canonical_mapping(variant_edges)
     )
     if mapping is None:  # no alias graph: canonicalization is the identity
         _make_edges_canonical = _make_edges
@@ -617,9 +648,8 @@ def build_graph(
         # barrier materialization ran under the plan construction above;
         # build_graph still returns with both checkpoints materialized
         # (same contract as the former eager barriers)
-        f_terms.result()
-        f_hz.result()
-        _barrier_pool.shutdown()
+        _barrier_join("terms")
+        _barrier_join("hz")
 
     return GraphResult(
         nodes=_make_nodes,

@@ -756,6 +756,12 @@ def test_multimodal_wav_true_metadata(spark):
     bi = evil.find(b"fmt ") + 8 + 8
     evil[bi : bi + 4] = (1).to_bytes(4, "little")  # byte_rate = 1
     assert parse_wav_fmt(bytes(evil)) is None
+    # sample_rate is a raw uint32 field: >= 2**31 must also stub, not
+    # overflow AUDIO_META_SCHEMA's IntegerType in the Arrow conversion
+    evil2 = bytearray(wav_fixture_bytes(16000, 2, 8000))
+    si = evil2.find(b"fmt ") + 8 + 4
+    evil2[si : si + 4] = (0xFFFFFFFF).to_bytes(4, "little")
+    assert parse_wav_fmt(bytes(evil2)) is None
 
     rows = [
         (1, "audio", bytearray(wav), "audio/wav"),
